@@ -1,0 +1,249 @@
+"""Spectral-estimator tests: Parseval invariants, scipy.periodogram parity,
+window corrections, cross spectra (ports of
+/root/reference/xrft/tests/test_xrft.py:340-520,693-842).
+"""
+
+import numpy as np
+import numpy.testing as npt
+import pytest
+import scipy.signal as sps
+
+import xrft_tpu
+from xrft_tpu import LabeledArray, cross_phase, cross_spectrum, power_spectrum
+from xrft_tpu.config import complex_mode
+
+MODES = ["native", "split"]
+
+
+def make_2d(N=16, seed=0):
+    rng = np.random.RandomState(seed)
+    return LabeledArray(rng.rand(N, N), dims=["x", "y"],
+                        coords={"x": range(N), "y": range(N)})
+
+
+@pytest.mark.parametrize("mode", MODES)
+def test_power_spectrum_periodogram_parity(mode):
+    """power_spectrum(density) == scipy.signal.periodogram
+    (port of test_xrft.py:400-404)."""
+    N = 16
+    rng = np.random.RandomState(0)
+    da = LabeledArray(rng.rand(N), dims=["x"], coords={"x": range(N)})
+    f_scipy, p_scipy = sps.periodogram(
+        da.values, window="rectangular", return_onesided=True
+    )
+    with complex_mode(mode):
+        ps = power_spectrum(da, dim="x", real_dim="x", detrend="constant")
+    npt.assert_allclose(ps.values, p_scipy, atol=1e-11)
+
+
+@pytest.mark.parametrize("window_type", ["hann", "bartlett", "tukey", "flattop"])
+def test_window_correction_energy_and_amplitude(window_type):
+    """Windowed PSD integrates to RMS^2 (density) and recovers peak
+    amplitude (spectrum) after correction (port of test_xrft.py:405-442)."""
+    A = 20
+    fs = 1e4
+    n_segments = int(fs // 10)
+    fsig = 300
+    tt = np.arange(fs) / fs
+    x = A * np.sin(2 * np.pi * fsig * tt)
+    x_da = LabeledArray(x, dims=["t"], coords={"t": tt}).chunk({"t": n_segments})
+
+    ps = power_spectrum(
+        x_da, dim="t", window=window_type, chunks_to_segments=True,
+        window_correction=True,
+    ).mean("t_segment")
+    npt.assert_allclose(
+        np.sqrt(np.trapezoid(ps.values, ps["freq_t"].values)),
+        A * np.sqrt(2) / 2,
+        rtol=1e-3,
+    )
+
+    ps = power_spectrum(
+        x_da, dim="t", window=window_type, chunks_to_segments=True,
+        scaling="spectrum", window_correction=True,
+    ).mean("t_segment")
+    i = int(np.argmin(np.abs(ps["freq_t"].values - fsig)))
+    npt.assert_allclose(ps.values[i], 0.5 * A**2 / 2.0)
+
+
+def test_window_correction_requires_window():
+    da = make_2d()
+    with pytest.raises(ValueError, match="window_correction"):
+        power_spectrum(da, window=None, window_correction=True)
+
+
+@pytest.mark.parametrize("chunks_to_segments", [False, True])
+@pytest.mark.parametrize("mode", MODES)
+def test_parseval(mode, chunks_to_segments):
+    """Parseval's relation for power/cross spectra, windowed and segmented
+    (port of the central test at test_xrft.py:693-842)."""
+    N = 16
+    rng = np.random.RandomState(1)
+    da = LabeledArray(rng.rand(N, N), dims=["x", "y"],
+                      coords={"x": range(N), "y": range(N)})
+    da2 = LabeledArray(rng.rand(N, N), dims=["x", "y"],
+                       coords={"x": range(N), "y": range(N)})
+    n_segments = 2 if chunks_to_segments else 1
+    if chunks_to_segments:
+        da = da.chunk({"x": N // 2, "y": N // 2})
+        da2 = da2.chunk({"x": N // 2, "y": N // 2})
+
+    dim = ["x", "y"]
+    fftdim = ["freq_x", "freq_y"]
+    delta_xy = 1.0  # integer coords
+
+    with complex_mode(mode):
+        # plain
+        ps = power_spectrum(da, chunks_to_segments=chunks_to_segments)
+        seg = N // n_segments
+        vals = da.values.reshape(n_segments, seg, n_segments, seg) \
+            if chunks_to_segments else da.values
+        npt.assert_allclose(
+            ps.mean(fftdim).values / delta_xy,
+            (vals**2).mean(axis=(-3, -1)) if chunks_to_segments
+            else (vals**2).mean(),
+            atol=1e-10,
+        )
+
+        # windowed + detrended
+        ps = power_spectrum(da, window="hann", detrend="constant",
+                            chunks_to_segments=chunks_to_segments)
+        w1 = sps.windows.hann(seg, sym=False)
+        window = w1 * w1[:, np.newaxis]
+        if chunks_to_segments:
+            vprime = vals - vals.mean(axis=(-3, -1), keepdims=True)
+            wv = vprime * window[None, :, None, :]
+            expected = (wv**2).mean(axis=(-3, -1))
+        else:
+            vprime = vals - vals.mean()
+            expected = ((vprime * window) ** 2).mean()
+        npt.assert_allclose(ps.mean(fftdim).values / delta_xy, expected,
+                            atol=1e-10)
+
+        # cross spectrum
+        cs = cross_spectrum(da, da2, window="hann", detrend="constant",
+                            chunks_to_segments=chunks_to_segments)
+        vals2 = da2.values.reshape(n_segments, seg, n_segments, seg) \
+            if chunks_to_segments else da2.values
+        if chunks_to_segments:
+            v2prime = vals2 - vals2.mean(axis=(-3, -1), keepdims=True)
+            expected = ((vprime * window[None, :, None, :])
+                        * (v2prime * window[None, :, None, :])).mean(axis=(-3, -1))
+        else:
+            v2prime = vals2 - vals2.mean()
+            expected = ((vprime * window) * (v2prime * window)).mean()
+        npt.assert_allclose(cs.mean(fftdim).values.real / delta_xy, expected,
+                            atol=1e-10)
+
+
+@pytest.mark.parametrize("mode", MODES)
+def test_parseval_dft_1d_2d(mode):
+    """Amplitude-true Parseval identity with arbitrary spacings/origins
+    (port of test_xrft.py:800-842)."""
+    rng = np.random.RandomState(2)
+    Nx = 40
+    dx = rng.rand()
+    xcoord = dx * (np.arange(-Nx // 2, -Nx // 2 + Nx) + rng.randint(-Nx // 2, Nx // 2))
+    sig = rng.rand(Nx) + 1j * rng.rand(Nx)
+    with complex_mode(mode):
+        s = LabeledArray(sig, dims=["x"], coords={"x": xcoord})
+        FTs = xrft_tpu.fft(s, dim="x", true_phase=True, true_amplitude=True)
+        npt.assert_allclose(
+            (np.abs(sig) ** 2).sum() * dx,
+            (np.abs(FTs.values) ** 2).sum() * FTs["freq_x"].attrs["spacing"],
+            rtol=1e-10,
+        )
+
+        Ny, dy = 60, rng.rand()
+        ycoord = dy * (np.arange(-Ny // 2, -Ny // 2 + Ny)
+                       + rng.randint(-Ny // 2, Ny // 2))
+        sig2 = rng.rand(Nx, Ny) + 1j * rng.rand(Nx, Ny)
+        s2 = LabeledArray(sig2, dims=("x", "y"),
+                          coords={"x": xcoord, "y": ycoord})
+        FTs2 = xrft_tpu.fft(s2, dim=("x", "y"), true_phase=True,
+                            true_amplitude=True)
+        npt.assert_allclose(
+            (np.abs(sig2) ** 2).sum() * dx * dy,
+            (np.abs(FTs2.values) ** 2).sum()
+            * FTs2["freq_x"].attrs["spacing"] * FTs2["freq_y"].attrs["spacing"],
+            rtol=1e-10,
+        )
+
+
+@pytest.mark.parametrize("mode", MODES)
+def test_cross_spectrum_conj_product(mode):
+    """cross_spectrum == F(da1) * conj(F(da2)) with matching kwargs."""
+    N = 16
+    rng = np.random.RandomState(3)
+    da1 = LabeledArray(rng.rand(N, N), dims=["x", "y"],
+                       coords={"x": range(N), "y": range(N)})
+    da2 = LabeledArray(rng.rand(N, N), dims=["x", "y"],
+                       coords={"x": range(N), "y": range(N)})
+    with complex_mode(mode):
+        cs = cross_spectrum(da1, da2, scaling="false_density",
+                            true_phase=True)
+        f1 = xrft_tpu.fft(da1, true_phase=True, true_amplitude=True)
+        f2 = xrft_tpu.fft(da2, true_phase=True, true_amplitude=True)
+        npt.assert_allclose(cs.values, f1.values * np.conj(f2.values),
+                            atol=1e-12)
+
+
+def test_cross_spectrum_dim_mismatch_raises():
+    N = 8
+    da1 = LabeledArray(np.random.rand(N, N), dims=["x", "y"],
+                       coords={"x": range(N), "y": range(N)})
+    da2 = LabeledArray(np.random.rand(N, N), dims=["x", "z"],
+                       coords={"x": range(N), "z": range(N)})
+    with pytest.raises(ValueError, match="different dimensions"):
+        cross_spectrum(da1, da2, dim=["x"])
+
+
+@pytest.mark.parametrize("mode", MODES)
+def test_cross_phase(mode):
+    """Phase of a lagged sinusoid pair (port of test_xrft.py:445-497
+    idea)."""
+    N = 64
+    x = np.linspace(0, 8 * np.pi, N, endpoint=False)
+    phase_shift = np.pi / 3
+    s1 = np.cos(x)
+    s2 = np.cos(x - phase_shift)  # s2 lags s1
+    with complex_mode(mode):
+        da1 = LabeledArray(s1, dims=["x"], coords={"x": x}, name="a")
+        da2 = LabeledArray(s2, dims=["x"], coords={"x": x}, name="b")
+        cp = cross_phase(da1, da2, dim="x")
+        assert cp.name == "a_b_phase"
+        k = cp["freq_x"].values
+        # at the signal frequency (1/(2 pi)), phase = +pi/3
+        i = int(np.argmin(np.abs(k - 1.0 / (2 * np.pi))))
+        npt.assert_allclose(cp.values[i], phase_shift, atol=1e-10)
+        assert (np.abs(cp.values) <= np.pi + 1e-12).all()
+
+
+@pytest.mark.parametrize("mode", MODES)
+def test_real_dim_power_doubling(mode):
+    """One-sided power spectrum sums to the two-sided total: doubling except
+    DC/Nyquist (reference _psd_real_dim_scaling semantics)."""
+    for N in (16, 17):
+        rng = np.random.RandomState(N)
+        da = LabeledArray(rng.rand(N), dims=["x"], coords={"x": range(N)})
+        with complex_mode(mode):
+            ps1 = power_spectrum(da, dim="x", real_dim="x")
+            ps2 = power_spectrum(da, dim="x")
+            npt.assert_allclose(ps1.values.sum(), ps2.values.sum(), rtol=1e-10)
+
+
+def test_segment_spectra_match_per_segment_loop():
+    """chunks_to_segments gives the same result as transforming each segment
+    separately (dask-parity analogue)."""
+    N, seg = 32, 16
+    rng = np.random.RandomState(11)
+    vals = rng.rand(N)
+    da = LabeledArray(vals, dims=["t"], coords={"t": np.arange(N) * 0.5})
+    ps_seg = power_spectrum(da.chunk({"t": seg}), dim="t",
+                            chunks_to_segments=True)
+    assert ps_seg.dims == ("t_segment", "freq_t")
+    for i in range(N // seg):
+        sub = LabeledArray(vals[i * seg:(i + 1) * seg], dims=["t"],
+                           coords={"t": np.arange(seg) * 0.5})
+        ps_i = power_spectrum(sub, dim="t")
+        npt.assert_allclose(ps_seg.values[i], ps_i.values, atol=1e-12)

@@ -1,0 +1,375 @@
+"""Transform-layer tests: ports of the reference's oracle-parity and
+invariant genres (/root/reference/xrft/tests/test_xrft.py:57-270,1114-1341)
+against numpy oracles, plus split-complex (TPU-representation) runs of the
+same checks.
+"""
+
+import numpy as np
+import numpy.testing as npt
+import pytest
+import scipy.signal as sps
+
+import xrft_tpu
+from xrft_tpu import LabeledArray, fft, ifft
+from xrft_tpu.config import complex_mode, fft_engine
+
+MODES = ["native", "split"]
+
+
+def make_1d(Nx=16, Lx=1.0, coords=True, seed=0):
+    x = np.linspace(0, Lx, Nx)
+    rng = np.random.RandomState(seed)
+    c = {"x": x} if coords else None
+    return LabeledArray(rng.rand(Nx), dims=["x"], coords=c)
+
+
+@pytest.mark.parametrize("mode", MODES)
+@pytest.mark.parametrize("coords", [True, False])
+def test_fft_1d(mode, coords):
+    """1-D defaults: freq coords, spacing attr, numpy parity with detrend
+    options (port of test_xrft.py:58-97)."""
+    da = make_1d(coords=coords)
+    Nx = da.sizes["x"]
+    dx = float(da["x"][1] - da["x"][0]) if coords else 1
+
+    with complex_mode(mode):
+        ft = fft(da, detrend="constant", true_phase=False, true_amplitude=False)
+        assert ft.dims == ("freq_x",)
+        freq_expected = np.fft.fftshift(np.fft.fftfreq(Nx, dx))
+        npt.assert_allclose(ft["freq_x"].values, freq_expected)
+        assert ft["freq_x"].spacing == freq_expected[1] - freq_expected[0]
+        data = da.values - da.values.mean()
+        npt.assert_allclose(
+            np.fft.fftshift(np.fft.fft(data)), ft.values, atol=1e-12
+        )
+
+        # without detrend
+        ft = fft(da, true_phase=False, true_amplitude=False)
+        npt.assert_allclose(np.fft.fftshift(np.fft.fft(da.values)), ft.values,
+                            rtol=1e-12)
+
+        # linear detrend vs scipy oracle
+        ft = fft(da, detrend="linear", true_phase=False, true_amplitude=False)
+        da_prime = sps.detrend(da.values)
+        npt.assert_allclose(np.fft.fftshift(np.fft.fft(da_prime)), ft.values,
+                            atol=1e-12)
+
+
+def test_fft_1d_uneven_raises():
+    da = make_1d()
+    bad_x = da["x"].values.copy()
+    bad_x[-1] *= 2
+    da = LabeledArray(da.values, dims=["x"], coords={"x": bad_x})
+    with pytest.raises(ValueError, match="evenly"):
+        fft(da)
+
+
+def test_fft_zero_spacing_raises():
+    da = LabeledArray(np.random.rand(8), dims=["x"],
+                      coords={"x": np.zeros(8)})
+    with pytest.raises(ValueError, match="zero"):
+        fft(da)
+
+
+def test_fft_1d_time():
+    """datetime64 coords produce frequencies in 1/seconds
+    (port of test_xrft.py:99-113)."""
+    time = np.arange("2000-01-01", "2000-02-01", dtype="datetime64[D]").astype(
+        "datetime64[ns]"
+    )
+    Nt = len(time)
+    da = LabeledArray(np.random.rand(Nt), dims=["time"], coords={"time": time})
+    ft = fft(da, shift=False, true_phase=False, true_amplitude=False)
+    dt = 24 * 3600.0
+    npt.assert_allclose(ft["freq_time"].values, np.fft.fftfreq(Nt, dt))
+
+
+@pytest.mark.parametrize("mode", MODES)
+def test_fft_2d(mode):
+    """2-D: plain, windowed+detrended parity (port of test_xrft.py:115-138)."""
+    N = 16
+    rng = np.random.RandomState(1)
+    da = LabeledArray(rng.rand(N, N), dims=["x", "y"],
+                      coords={"x": range(N), "y": range(N)})
+    with complex_mode(mode):
+        ft = fft(da, shift=False, true_phase=False, true_amplitude=False)
+        npt.assert_allclose(ft.values, np.fft.fftn(da.values), rtol=1e-10)
+
+        ft = fft(da, shift=False, window="hann", detrend="constant",
+                 true_phase=False, true_amplitude=False)
+        window = (
+            sps.windows.hann(N, sym=False)
+            * sps.windows.hann(N, sym=False)[:, np.newaxis]
+        )
+        da_prime = da.values - da.values.mean()
+        npt.assert_allclose(ft.values, np.fft.fftn(da_prime * window),
+                            atol=1e-11)
+
+
+def test_fft_2d_decreasing_coords_ps_nonneg():
+    N = 16
+    da = LabeledArray(np.random.rand(N, N), dims=["x", "y"],
+                      coords={"x": np.arange(N, 0, -1),
+                              "y": np.arange(N, 0, -1)})
+    ps = xrft_tpu.power_spectrum(da, shift=False, density=True)
+    assert (ps.values >= 0.0).all()
+
+
+def test_dim_str_vs_list():
+    N = 16
+    da = LabeledArray(np.random.rand(N, N), dims=["x", "y"],
+                      coords={"x": range(N), "y": range(N)})
+    a = fft(da, dim="y", shift=False, true_phase=False, true_amplitude=False)
+    b = fft(da, dim=["y"], shift=False, true_phase=False, true_amplitude=False)
+    npt.assert_array_equal(a.values, b.values)
+    assert fft(da, dim="y").dims == ("x", "freq_y")
+
+
+def test_fft_3d_partial_dims():
+    N = 8
+    da = LabeledArray(np.random.rand(N, N, N), dims=["time", "x", "y"],
+                      coords={"time": range(N), "x": range(N),
+                              "y": range(N)})
+    daft = fft(da, dim=["x", "y"], shift=False, true_phase=False,
+               true_amplitude=False)
+    npt.assert_allclose(daft.values, np.fft.fftn(da.values, axes=[1, 2]),
+                        rtol=1e-10)
+    # linear detrend along one dim
+    daft = fft(da, dim=["time"], shift=False, detrend="linear",
+               true_phase=False, true_amplitude=False)
+    da_prime = sps.detrend(da.values, axis=0)
+    npt.assert_allclose(daft.values, np.fft.fftn(da_prime, axes=[0]),
+                        atol=1e-11)
+
+
+@pytest.mark.parametrize("mode", MODES)
+@pytest.mark.parametrize("coords", [True, False])
+def test_fft_real_1d(mode, coords):
+    """rfft 1-D parity (port of test_xrft.py:214-254)."""
+    da = make_1d(coords=coords)
+    Nx = da.sizes["x"]
+    dx = float(da["x"][1] - da["x"][0]) if coords else 1
+    with complex_mode(mode):
+        ft = fft(da, real_dim="x", detrend="constant", true_phase=False,
+                 true_amplitude=False)
+        assert ft.dims == ("freq_x",)
+        npt.assert_allclose(ft["freq_x"].values, np.fft.rfftfreq(Nx, dx))
+        data = da.values - da.values.mean()
+        npt.assert_allclose(np.fft.rfft(data), ft.values, atol=1e-12)
+
+    with pytest.raises(ValueError):
+        fft(da, real_dim="y", detrend="constant")
+
+
+@pytest.mark.parametrize("mode", MODES)
+def test_fft_real_2d(mode):
+    """rfft over non-last dim: move-to-last + transpose-back parity
+    (port of test_xrft.py:243-270)."""
+    Nx, Ny = 16, 32
+    rng = np.random.RandomState(3)
+    da = LabeledArray(rng.rand(Nx, Ny), dims=["x", "y"],
+                      coords={"x": range(Nx), "y": range(Ny)})
+    with complex_mode(mode):
+        daft = fft(da, real_dim="x", true_phase=False, true_amplitude=False)
+        npt.assert_allclose(
+            daft.values,
+            np.fft.rfftn(da.values.transpose()).transpose(),
+            rtol=1e-10, atol=1e-11,
+        )
+        npt.assert_allclose(
+            daft.values,
+            fft(da, dim=["y"], real_dim="x", true_phase=False,
+                true_amplitude=False).values,
+            rtol=1e-12,
+        )
+        npt.assert_allclose(daft.coords["freq_x"].values,
+                            np.fft.rfftfreq(Nx, 1.0))
+        npt.assert_allclose(daft.coords["freq_y"].values,
+                            np.fft.fftfreq(Ny, 1.0))
+
+
+def test_fft_nocoords_and_single_dim_window():
+    """Issue-17/16 analogues: dims without coords; window on one dim."""
+    data = LabeledArray(np.random.random([20, 30, 40]),
+                        dims=["time", "lat", "lon"])
+    fft(data, dim=["time"])
+    xrft_tpu.power_spectrum(data, dim=["time"])
+    data2 = LabeledArray(
+        np.random.random([20, 30, 40]),
+        dims=["time", "lat", "lon"],
+        coords={"time": range(20), "lat": range(30), "lon": range(40)},
+    )
+    xrft_tpu.power_spectrum(data2, dim=["time"], window="hann")
+
+
+def test_fft_bad_nondim_coord_raises():
+    """Non-dimension coords sharing a transform dim are rejected
+    (port of test_xrft.py:1344-1361)."""
+    N = 8
+    da = LabeledArray(
+        np.random.rand(N, N), dims=["x", "y"],
+        coords={"x": range(N), "y": range(N),
+                "x2": (("x",), np.arange(N) * 2.0)},
+    )
+    with pytest.raises(ValueError, match="drop"):
+        fft(da, dim=["x"])
+    # transform over y is fine
+    fft(da, dim=["y"])
+
+
+def test_fft_non_numeric_coord_raises():
+    da = LabeledArray(
+        np.random.rand(4), dims=["x"],
+        coords={"x": np.array(["a", "b", "c", "d"])},
+    )
+    with pytest.raises(ValueError, match="numerical or datetime"):
+        fft(da)
+
+
+# ---------------------------------------------------------------------------
+# true_phase machinery & round trips
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("mode", MODES)
+def test_true_phase_translation_invariance(mode):
+    """|spectrum| is translation-invariant and phases track the coordinate
+    (port of the idea at test_xrft.py:1149-1188)."""
+    N = 32
+    x0 = np.arange(N) - N // 2
+    sig = np.exp(-(x0**2) / 16.0)
+    with complex_mode(mode):
+        da1 = LabeledArray(sig, dims=["x"], coords={"x": x0 * 0.5})
+        da2 = LabeledArray(sig, dims=["x"], coords={"x": x0 * 0.5 + 3.0})
+        f1 = fft(da1, true_phase=True, true_amplitude=True)
+        f2 = fft(da2, true_phase=True, true_amplitude=True)
+        # same magnitude
+        npt.assert_allclose(np.abs(f1.values), np.abs(f2.values), atol=1e-12)
+        # phases differ by exp(-2i pi f * 3)
+        k = f1["freq_x"].values
+        npt.assert_allclose(
+            f2.values, f1.values * np.exp(-2j * np.pi * k * 3.0), atol=1e-12
+        )
+
+
+@pytest.mark.parametrize("mode", MODES)
+def test_true_phase_analytic_gaussian(mode):
+    """Continuous-FT parity on a Gaussian: F(exp(-pi x^2)) = exp(-pi k^2)."""
+    N = 64
+    dx = 0.25
+    x = (np.arange(N) - N // 2) * dx
+    sig = np.exp(-np.pi * x**2)
+    with complex_mode(mode):
+        da = LabeledArray(sig, dims=["x"], coords={"x": x})
+        F = fft(da, true_phase=True, true_amplitude=True)
+        k = F["freq_x"].values
+        # atol bounded by truncation/aliasing of the sampled Gaussian
+        # (the reference's analytic sinc test uses atol=1e-3)
+        npt.assert_allclose(F.values, np.exp(-np.pi * k**2), atol=1e-5)
+
+
+@pytest.mark.parametrize("mode", MODES)
+def test_reversed_coordinates(mode):
+    """Decreasing coordinates give the same true-phase spectrum as ascending
+    (port of test_xrft.py:1330-1341)."""
+    N = 16
+    x = np.arange(N) * 0.5
+    rng = np.random.RandomState(5)
+    sig = rng.randn(N)
+    with complex_mode(mode):
+        da_up = LabeledArray(sig, dims=["x"], coords={"x": x})
+        da_dn = LabeledArray(sig[::-1].copy(), dims=["x"], coords={"x": x[::-1].copy()})
+        f_up = fft(da_up, true_phase=True, true_amplitude=True)
+        f_dn = fft(da_dn, true_phase=True, true_amplitude=True)
+        npt.assert_allclose(f_up.values, f_dn.values, atol=1e-12)
+
+
+@pytest.mark.parametrize("mode", MODES)
+@pytest.mark.parametrize("shift", [True, False])
+def test_ifft_fft_roundtrip(mode, shift):
+    """ifft(fft(s)) == s including coordinates
+    (port of test_xrft.py:1253-1300)."""
+    N = 40
+    x = (np.arange(N) - 11) * 0.3
+    rng = np.random.RandomState(6)
+    sig = rng.randn(N)
+    with complex_mode(mode):
+        da = LabeledArray(sig, dims=["x"], coords={"x": x})
+        F = fft(da, true_phase=True, true_amplitude=True, shift=shift)
+        lag = F["freq_x"].attrs["direct_lag"]
+        back = ifft(F, true_phase=True, true_amplitude=True, lag=lag)
+        npt.assert_allclose(back.values.real, sig, atol=1e-11)
+        npt.assert_allclose(back["x"].values, x, atol=1e-11)
+
+
+@pytest.mark.parametrize("mode", MODES)
+def test_idft_dft_roundtrip_manual_lag(mode):
+    N = 24
+    x = np.arange(N) * 0.25 + 4.0
+    rng = np.random.RandomState(7)
+    sig = rng.randn(N) + 1j * rng.randn(N) if mode == "native" else rng.randn(N)
+    with complex_mode(mode):
+        da = LabeledArray(sig, dims=["x"], coords={"x": x})
+        F = fft(da, true_phase=True, true_amplitude=True)
+        back = ifft(F, true_phase=True, true_amplitude=True,
+                    lag=x[N // 2])
+        got = back.values if np.iscomplexobj(sig) else back.values.real
+        npt.assert_allclose(got, sig, atol=1e-11)
+        npt.assert_allclose(back["x"].values, x, atol=1e-11)
+
+
+def test_ifft_noncentered_raises():
+    """ifft requires zero-centered freq coords
+    (port of test_xrft.py:1303-1312)."""
+    N = 16
+    F = LabeledArray(
+        np.random.rand(N) + 0j, dims=["freq_x"],
+        coords={"freq_x": np.fft.fftfreq(N, 0.1) + 1.0},
+    )
+    with pytest.raises(ValueError, match="centered"):
+        ifft(F, true_phase=True, lag=0)
+
+
+@pytest.mark.parametrize("mode", MODES)
+def test_ifft_real_dim(mode):
+    """irfft roundtrip through the public API."""
+    N = 32
+    x = np.arange(N) * 0.5
+    rng = np.random.RandomState(8)
+    sig = rng.randn(N)
+    with complex_mode(mode):
+        da = LabeledArray(sig, dims=["x"], coords={"x": x})
+        F = fft(da, real_dim="x", true_phase=True, true_amplitude=True)
+        back = ifft(F, real_dim="freq_x", true_phase=True,
+                    true_amplitude=True, lag=x[N // 2])
+        npt.assert_allclose(back.values, sig, atol=1e-11)
+
+
+def test_matmul_engine_full_pipeline():
+    """The TPU engine (matmul+split) produces the same transform as the XLA
+    engine through the full public API."""
+    N = 48
+    x = np.arange(N) * 0.1
+    sig = np.random.RandomState(9).randn(N)
+    da = LabeledArray(sig, dims=["x"], coords={"x": x})
+    with fft_engine("xla"), complex_mode("native"):
+        a = fft(da, detrend="linear", window="hann").values
+    with fft_engine("matmul"), complex_mode("split"):
+        b = fft(da, detrend="linear", window="hann").values
+    npt.assert_allclose(a, b, atol=1e-11)
+
+
+def test_lag_list_with_none():
+    """lag=[value, None] fills None from direct_lag attrs
+    (reference /root/reference/xrft/xrft.py:569-572)."""
+    N = 16
+    x = np.arange(N) * 0.5 + 2.0
+    y = np.arange(N) * 0.25 + 1.0
+    sig = np.random.RandomState(10).randn(N, N)
+    da = LabeledArray(sig, dims=["x", "y"], coords={"x": x, "y": y})
+    F = fft(da, true_phase=True, true_amplitude=True)
+    back = ifft(F, true_phase=True, true_amplitude=True,
+                lag=[x[N // 2], None])
+    npt.assert_allclose(back.values.real, sig, atol=1e-10)
+    with pytest.raises(ValueError, match="same length"):
+        ifft(F, lag=[1.0])

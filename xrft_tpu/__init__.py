@@ -8,7 +8,10 @@ programs, with an MXU matmul-FFT engine where the FFT HLO is unavailable,
 and `jax.sharding` pencil decomposition in place of dask chunking.
 """
 
-from .config import config, fft_engine, set_fft_engine  # noqa: F401
+from .config import complex_mode, config, fft_engine, set_fft_engine  # noqa: F401
 from .labeled import Coord, LabeledArray  # noqa: F401
+from .transform import dft, fft, idft, ifft  # noqa: F401
+from .spectra import cross_phase, cross_spectrum, power_spectrum  # noqa: F401
+from .detrend import detrend  # noqa: F401
 
 __version__ = "0.1.0"

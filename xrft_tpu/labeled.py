@@ -30,6 +30,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from .ops import carray
+from .ops.carray import ComplexPair
+
 __all__ = ["Coord", "LabeledArray"]
 
 
@@ -206,8 +209,14 @@ class LabeledArray:
             attrs = data.attrs if attrs is None else attrs
             name = data.name if name is None else name
             data = data.data
-        if not isinstance(data, (jax.Array, np.ndarray)):
+        if not isinstance(data, (jax.Array, np.ndarray, ComplexPair)):
             data = np.asarray(data)
+        if isinstance(data, np.ndarray) and data.dtype.kind == "c":
+            # complex numpy input: split on host when the backend cannot
+            # execute complex dtypes (TPU); else device-put as native
+            from .ops.fft_core import use_split_complex
+
+            data = carray.as_pair(data) if use_split_complex() else jnp.asarray(data)
         if dims is None:
             dims = tuple(f"dim_{i}" for i in range(data.ndim))
         elif isinstance(dims, str):
@@ -264,16 +273,17 @@ class LabeledArray:
 
     @property
     def values(self) -> np.ndarray:
-        return np.asarray(self.data)
+        return carray.to_numpy(self.data)
 
     def __array__(self, dtype=None, copy=None):
-        return np.asarray(self.data, dtype=dtype)
+        out = carray.to_numpy(self.data)
+        return out.astype(dtype) if dtype is not None else out
 
     def __len__(self):
         return self.shape[0]
 
     def item(self):
-        return np.asarray(self.data).item()
+        return carray.to_numpy(self.data).item()
 
     def get_axis_num(self, dim):
         if isinstance(dim, (list, tuple)):
@@ -331,9 +341,10 @@ class LabeledArray:
         if set(dims) != set(self.dims) or len(dims) != len(self.dims):
             raise ValueError(f"transpose dims {dims} != array dims {self.dims}")
         perm = [self.dims.index(d) for d in dims]
-        out = self.copy(data=jnp.transpose(self.data, perm)
-                        if isinstance(self.data, jax.Array)
-                        else np.transpose(self.data, perm))
+        data = (np.transpose(self.data, perm)
+                if isinstance(self.data, np.ndarray)
+                else carray.transpose(self.data, perm))
+        out = self.copy(data=data)
         out.dims = tuple(dims)
         return out
 
@@ -378,9 +389,9 @@ class LabeledArray:
                 continue
             axis = out.get_axis_num(d)
             data = (
-                jnp.take(out.data, jnp.asarray(order), axis=axis)
-                if isinstance(out.data, jax.Array)
-                else np.take(out.data, order, axis=axis)
+                np.take(out.data, order, axis=axis)
+                if isinstance(out.data, np.ndarray)
+                else carray.take(out.data, jnp.asarray(order), axis=axis)
             )
             nxt = out.copy(data=data)
             for cname, c in nxt.coords.items():
@@ -419,6 +430,26 @@ class LabeledArray:
         out.attrs.update(attrs)
         return out
 
+    def chunk(self, chunks: Mapping[str, int] | None = None, **chunks_kwargs
+              ) -> "LabeledArray":
+        """Declare logical chunk lengths per dim (metadata only).
+
+        The TPU analogue of dask chunking: chunk lengths feed
+        ``fft(..., chunks_to_segments=True)`` (Welch segmenting) and batch
+        sharding helpers; the data itself is not reorganized.
+        """
+        merged = dict(self.attrs.get("_chunks") or {})
+        merged.update(chunks or {})
+        merged.update(chunks_kwargs)
+        for d in merged:
+            if d not in self.dims:
+                raise ValueError(f"chunk dim {d!r} not in {self.dims}")
+        return self.assign_attrs(_chunks=merged)
+
+    @property
+    def chunks(self):
+        return self.attrs.get("_chunks")
+
     # ----------------------------------------------------------- reductions
     def _reduce(self, fn_jnp, dim=None, **kw) -> "LabeledArray":
         if dim is None:
@@ -428,7 +459,7 @@ class LabeledArray:
         else:
             dims = list(dim)
         axes = tuple(self.dims.index(d) for d in dims)
-        data = fn_jnp(jnp.asarray(self.data), axis=axes, **kw)
+        data = carray.reduce(_asjax(self.data), fn_jnp, axes, **kw)
         out = LabeledArray.__new__(LabeledArray)
         out.data = data
         out.dims = tuple(d for d in self.dims if d not in dims)
@@ -461,30 +492,30 @@ class LabeledArray:
 
     # ---------------------------------------------------------- elementwise
     def _unary(self, fn) -> "LabeledArray":
-        return self.copy(data=fn(jnp.asarray(self.data)))
+        return self.copy(data=fn(_asjax(self.data)))
 
     def conj(self):
-        return self._unary(jnp.conj)
+        return self._unary(carray.conj)
 
     @property
     def real(self):
-        return self._unary(jnp.real)
+        return self._unary(carray.real)
 
     @property
     def imag(self):
-        return self._unary(jnp.imag)
+        return self._unary(carray.imag)
 
     def astype(self, dtype):
         return self._unary(lambda x: x.astype(dtype))
 
     def __abs__(self):
-        return self._unary(jnp.abs)
+        return self._unary(carray.absolute)
 
     def __neg__(self):
-        return self._unary(jnp.negative)
+        return self._unary(lambda x: -x if carray.is_pair(x) else jnp.negative(x))
 
     def fillna(self, value):
-        return self._unary(lambda x: jnp.nan_to_num(x, nan=value))
+        return self._unary(lambda x: carray.nan_to_num(x, nan=value))
 
     # -------------------------------------------- dim-aligned binary ops
     def _binary(self, other, op, reflexive=False) -> "LabeledArray":
@@ -504,6 +535,9 @@ class LabeledArray:
                     )
             a = _expand_to(self, out_dims)
             b = _expand_to(other, out_dims)
+            if carray.is_pair(a) != carray.is_pair(b):
+                # never mix representations: promote both to pairs
+                a, b = carray.as_pair(a), carray.as_pair(b)
             data = op(b, a) if reflexive else op(a, b)
             out = LabeledArray.__new__(LabeledArray)
             out.data = data
@@ -516,11 +550,15 @@ class LabeledArray:
             out.coords = coords
             return out
         # scalar / raw array (same-shape broadcast against our data)
-        data = (
-            op(jnp.asarray(other), jnp.asarray(self.data))
-            if reflexive
-            else op(jnp.asarray(self.data), jnp.asarray(other) if not np.isscalar(other) else other)
-        )
+        a = _asjax(self.data)
+        b = other if np.isscalar(other) or isinstance(other, complex) else jnp.asarray(other)
+        if isinstance(b, complex) or (
+            getattr(b, "dtype", None) is not None
+            and np.dtype(b.dtype).kind == "c"
+            and carray.is_pair(a)
+        ):
+            b = carray.as_pair(b) if carray.is_pair(a) else b
+        data = op(b, a) if reflexive else op(a, b)
         out = self.copy(data=data)
         out.attrs = {}
         return out
@@ -572,7 +610,7 @@ class LabeledArray:
             a = _expand_to(self, out_dims)
             c = _expand_to(cond, out_dims)
             out = LabeledArray.__new__(LabeledArray)
-            out.data = jnp.where(c, a, other)
+            out.data = carray.where(c, a, other)
             out.dims = tuple(out_dims)
             out.attrs = dict(self.attrs)
             out.name = self.name
@@ -581,7 +619,9 @@ class LabeledArray:
                 coords.setdefault(k, v.copy())
             out.coords = coords
             return out
-        return self.copy(data=jnp.where(jnp.asarray(cond), jnp.asarray(self.data), other))
+        return self.copy(
+            data=carray.where(jnp.asarray(cond), _asjax(self.data), other)
+        )
 
     def dropna(self, dim) -> "LabeledArray":
         """Drop labels along ``dim`` where data (any over other dims) or the
@@ -593,7 +633,7 @@ class LabeledArray:
         ``/root/reference/xrft/xrft.py:1007-1010``).
         """
         axis = self.get_axis_num(dim)
-        vals = np.asarray(self.data)
+        vals = carray.to_numpy(self.data)
         mask = np.zeros(vals.shape[axis], dtype=bool)
         if np.issubdtype(vals.dtype, np.floating) or np.issubdtype(
             vals.dtype, np.complexfloating
@@ -610,12 +650,24 @@ class LabeledArray:
         return self.isel({dim: keep})
 
 
+def _asjax(data):
+    """Normalize stored data for compute: numpy -> jnp (complex numpy is
+    split when the backend lacks complex support); pairs/jax pass through."""
+    if isinstance(data, np.ndarray):
+        if data.dtype.kind == "c":
+            from .ops.fft_core import use_split_complex
+
+            return carray.as_pair(data) if use_split_complex() else jnp.asarray(data)
+        return jnp.asarray(data)
+    return data
+
+
 def _expand_to(da: LabeledArray, out_dims: Sequence[str]):
     """Return da.data transposed/newaxis-expanded to out_dims order."""
     own = [d for d in out_dims if d in da.dims]
     perm = [da.dims.index(d) for d in own]
-    data = jnp.asarray(da.data)
+    data = _asjax(da.data)
     if perm != list(range(len(perm))):
-        data = jnp.transpose(data, perm)
+        data = carray.transpose(data, perm)
     shape = [da.sizes[d] if d in da.dims else 1 for d in out_dims]
-    return data.reshape(shape)
+    return carray.reshape(data, tuple(shape))
