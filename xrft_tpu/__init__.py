@@ -12,6 +12,13 @@ from .config import complex_mode, config, fft_engine, set_fft_engine  # noqa: F4
 from .labeled import Coord, LabeledArray  # noqa: F401
 from .transform import dft, fft, idft, ifft  # noqa: F401
 from .spectra import cross_phase, cross_spectrum, power_spectrum  # noqa: F401
+from .isotropic import (  # noqa: F401
+    fit_loglog,
+    isotropic_cross_spectrum,
+    isotropic_power_spectrum,
+    isotropize,
+)
 from .detrend import detrend  # noqa: F401
+from .padding import pad, unpad  # noqa: F401
 
 __version__ = "0.1.0"
