@@ -1,0 +1,153 @@
+"""Distributed-path tests on the 8-virtual-device CPU mesh: pencil FFT
+parity vs single-device transforms, batch sharding, and the high-level
+sharded API.  This is the TPU analogue of the reference's in-process dask
+tests (SURVEY.md §4): same assertions, collective execution underneath.
+"""
+
+import jax
+import numpy as np
+import numpy.testing as npt
+import pytest
+from jax.sharding import PartitionSpec as P
+
+import xrft_tpu
+from xrft_tpu import LabeledArray
+from xrft_tpu.config import complex_mode
+from xrft_tpu.ops import carray
+from xrft_tpu.parallel import (
+    make_mesh,
+    pencil_fftn,
+    shard_labeled,
+    sharded_fft,
+    sharded_power_spectrum,
+)
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 virtual devices"
+)
+
+
+@pytest.fixture
+def mesh8():
+    return make_mesh({"p": 8})
+
+
+@pytest.fixture
+def mesh24():
+    return make_mesh({"p1": 2, "p2": 4})
+
+
+@pytest.mark.parametrize("kind", ["fft", "ifft"])
+@pytest.mark.parametrize("mode", ["native", "split"])
+def test_pencil_1axis_sharded(mesh8, kind, mode):
+    """FFT along a sharded axis == local FFT (global view)."""
+    rng = np.random.RandomState(0)
+    x = rng.randn(32, 48) + 1j * rng.randn(32, 48)
+    with complex_mode(mode):
+        xin = carray.as_pair(x) if mode == "split" else np.asarray(x)
+        got = pencil_fftn(xin, [0, 1], mesh8, {0: "p"}, kind)
+        ref = np.fft.fftn(x) if kind == "fft" else np.fft.ifftn(x)
+        npt.assert_allclose(carray.to_numpy(got), ref, atol=1e-10)
+
+
+@pytest.mark.parametrize("mode", ["native", "split"])
+def test_pencil_2d_mesh_3d_fft(mesh24, mode):
+    """3-D FFT with two sharded transform axes on a 2x4 mesh — the
+    BASELINE config-5 topology at test scale."""
+    rng = np.random.RandomState(1)
+    x = rng.randn(16, 32, 24) + 1j * rng.randn(16, 32, 24)
+    with complex_mode(mode):
+        xin = carray.as_pair(x) if mode == "split" else np.asarray(x)
+        got = pencil_fftn(xin, [0, 1, 2], mesh24, {0: "p1", 1: "p2"}, "fft")
+        npt.assert_allclose(carray.to_numpy(got), np.fft.fftn(x), atol=1e-9)
+
+
+def test_pencil_rfft(mesh8):
+    rng = np.random.RandomState(2)
+    x = rng.randn(32, 64)
+    got = pencil_fftn(np.asarray(x), [0, 1], mesh8, {0: "p"}, "rfft")
+    npt.assert_allclose(carray.to_numpy(got), np.fft.rfftn(x), atol=1e-10)
+    back = pencil_fftn(got, [0, 1], mesh8, {0: "p"}, "irfft")
+    npt.assert_allclose(carray.to_numpy(back), x, atol=1e-10)
+
+
+def test_pencil_rfft_sharded_real_axis_raises(mesh8):
+    x = np.random.randn(32, 64)
+    with pytest.raises(ValueError, match="unsharded"):
+        pencil_fftn(x, [0, 1], mesh8, {1: "p"}, "rfft")
+
+
+def test_pencil_no_buddy_raises(mesh8):
+    # 1-D: no buddy axis available for the transpose
+    x = np.random.randn(32) + 0j
+    with pytest.raises(ValueError, match="buddy"):
+        pencil_fftn(x, [0], mesh8, {0: "p"}, "fft")
+
+
+def test_pencil_batch_only_sharding(mesh8):
+    """Sharded non-transform axis: pure batch parallelism, no transposes."""
+    rng = np.random.RandomState(3)
+    x = rng.randn(16, 32) + 1j * rng.randn(16, 32)
+    got = pencil_fftn(np.asarray(x), [1], mesh8, {0: "p"}, "fft")
+    npt.assert_allclose(carray.to_numpy(got), np.fft.fft(x, axis=1),
+                        atol=1e-10)
+
+
+@pytest.mark.parametrize("mode", ["native", "split"])
+def test_sharded_fft_matches_local(mesh8, mode):
+    """High-level sharded_fft == local fft, coords and all."""
+    N = 32
+    x = np.arange(N) * 0.5 - 3.0
+    rng = np.random.RandomState(4)
+    vals = rng.randn(8, N)
+    with complex_mode(mode):
+        da = LabeledArray(vals, dims=["b", "x"],
+                          coords={"x": x, "b": np.arange(8)})
+        local = xrft_tpu.fft(da, dim=["x"], true_phase=True,
+                             true_amplitude=True)
+        dist = sharded_fft(da, mesh8, {"b": "p"}, dim=["x"],
+                           true_phase=True, true_amplitude=True)
+        npt.assert_allclose(carray.to_numpy(dist.data),
+                            carray.to_numpy(local.data), atol=1e-11)
+        assert dist.dims == local.dims
+        npt.assert_allclose(dist["freq_x"].values, local["freq_x"].values)
+
+
+@pytest.mark.parametrize("mode", ["native", "split"])
+def test_sharded_fft_transform_dim_sharded(mesh8, mode):
+    """The genuinely-new capability: fft along a *sharded* transform dim
+    (the reference's dask backend raises here)."""
+    N = 64
+    x = np.arange(N) * 0.25
+    rng = np.random.RandomState(5)
+    vals = rng.randn(N, 16)
+    with complex_mode(mode):
+        da = LabeledArray(vals, dims=["x", "b"],
+                          coords={"x": x, "b": np.arange(16)})
+        local = xrft_tpu.fft(da, dim=["x"], true_phase=True,
+                             true_amplitude=True)
+        dist = sharded_fft(da, mesh8, {"x": "p"}, dim=["x"],
+                           true_phase=True, true_amplitude=True)
+        npt.assert_allclose(carray.to_numpy(dist.data),
+                            carray.to_numpy(local.data), atol=1e-11)
+
+
+def test_sharded_power_spectrum_2d(mesh24):
+    """Full sharded PSD pipeline (detrend + window) on a 2-D mesh."""
+    N = 32
+    rng = np.random.RandomState(6)
+    da = LabeledArray(rng.randn(N, N), dims=["y", "x"],
+                      coords={"y": np.arange(N), "x": np.arange(N)})
+    local = xrft_tpu.power_spectrum(da, dim=["y", "x"], window="hann",
+                                    detrend="linear")
+    dist = sharded_power_spectrum(da, mesh24, {"y": "p1", "x": "p2"},
+                                  dim=["y", "x"], window="hann",
+                                  detrend="linear")
+    npt.assert_allclose(carray.to_numpy(dist.data),
+                        carray.to_numpy(local.data), atol=1e-11)
+
+
+def test_shard_labeled_sharding_visible(mesh8):
+    da = LabeledArray(np.random.randn(16, 8), dims=["a", "b"])
+    sh = shard_labeled(da, mesh8, {"a": "p"})
+    assert sh.data.sharding.spec == P("p", None)

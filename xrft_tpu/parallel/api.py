@@ -1,0 +1,76 @@
+"""High-level distributed spectral analysis.
+
+``sharded_fft`` / ``sharded_power_spectrum`` run the full coordinate-aware
+pipelines of :mod:`..transform` / :mod:`..spectra` with the core transform
+routed through the pencil decomposition and the input sharded over a device
+mesh.  Batch (non-transform) dims parallelize with zero collectives — the
+TPU analogue of dask-chunked loop dims; sharded transform dims use
+``all_to_all`` pencil transposes (which the reference's dask backend cannot
+do at all).
+
+Everything outside the core transform (detrend reductions, window
+multiplies, phase factors, scalings) operates on sharded arrays through
+GSPMD, which inserts the appropriate collectives automatically.
+"""
+
+from __future__ import annotations
+
+from jax.sharding import Mesh
+
+from .. import spectra, transform
+from ..labeled import LabeledArray
+from .mesh import shard_labeled
+from .pencil import pencil_fftn
+
+__all__ = ["sharded_fft", "sharded_power_spectrum"]
+
+
+def _make_engine(mesh: Mesh, dims: tuple, dim_shards: dict):
+    """Build a callable core-transform engine bound to a fixed dim order."""
+
+    def engine_fn(data, axes, kind):
+        axis_sharding = {
+            i: dim_shards.get(d) for i, d in enumerate(dims) if d in dim_shards
+        }
+        return pencil_fftn(data, axes, mesh, axis_sharding, kind)
+
+    return engine_fn
+
+
+def _prepare(da: LabeledArray, mesh, dim_shards, kwargs):
+    if kwargs.get("chunks_to_segments"):
+        raise NotImplementedError(
+            "chunks_to_segments with sharded transform dims is not supported;"
+            " segment first, then shard the segment dim as a batch dim."
+        )
+    real_dim = kwargs.get("real_dim")
+    if real_dim is not None:
+        if dim_shards.get(real_dim):
+            raise ValueError("the real transform dim must be unsharded")
+        # pre-arrange so the transform layer performs no further transposes
+        # and array axis positions match da.dims throughout
+        order = [d for d in da.dims if d != real_dim] + [real_dim]
+        da = da.transpose(*order)
+    da = shard_labeled(da, mesh, dim_shards)
+    return da
+
+
+def sharded_fft(da: LabeledArray, mesh: Mesh, dim_shards: dict[str, str],
+                **fft_kwargs) -> LabeledArray:
+    """:func:`xrft_tpu.fft` over a device mesh.
+
+    ``dim_shards``: {dim name: mesh axis}.  Transform dims may be sharded
+    (pencil path); batch dims shard freely.
+    """
+    da = _prepare(da, mesh, dim_shards, fft_kwargs)
+    engine = _make_engine(mesh, da.dims, dim_shards)
+    return transform.fft(da, engine=engine, **fft_kwargs)
+
+
+def sharded_power_spectrum(da: LabeledArray, mesh: Mesh,
+                           dim_shards: dict[str, str],
+                           **ps_kwargs) -> LabeledArray:
+    """:func:`xrft_tpu.power_spectrum` over a device mesh."""
+    da = _prepare(da, mesh, dim_shards, ps_kwargs)
+    engine = _make_engine(mesh, da.dims, dim_shards)
+    return spectra.power_spectrum(da, engine=engine, **ps_kwargs)

@@ -27,6 +27,16 @@ from .ops import carray, fft_core
 
 __all__ = ["fft", "ifft", "dft", "idft"]
 
+
+def _run_core(data, axes, kind, engine):
+    """Run the core N-D transform; `engine` may be an engine name or a
+    callable(data, axes, kind) (used by the distributed pencil path)."""
+    if callable(engine):
+        return engine(data, axes, kind)
+    fn = {"fft": fft_core.fftn, "ifft": fft_core.ifftn,
+          "rfft": fft_core.rfftn, "irfft": fft_core.irfftn}[kind]
+    return fn(data, axes, engine=engine)
+
 _real_flag_warning = (
     "`real` flag will be deprecated in future version of xrft_tpu.fft and "
     "replaced by `real_dim` flag."
@@ -206,10 +216,8 @@ def fft(
             data = carray.flip(data, reversed_axes)
         data = fft_core.ifftshift(data, axes=axis_num)
 
-    if real_dim is None:
-        f = fft_core.fftn(data, axis_num, engine=engine)
-    else:
-        f = fft_core.rfftn(data, axis_num, engine=engine)
+    f = _run_core(data, axis_num, "fft" if real_dim is None else "rfft",
+                  engine)
 
     if shift:
         f = fft_core.fftshift(f, axes=axis_num)
@@ -360,10 +368,8 @@ def ifft(
     axis_shift = [daft.get_axis_num(d) for d in dim if d != real_dim]
 
     f = fft_core.ifftshift(daft.data, axes=axis_shift)
-    if real_dim is None:
-        f = fft_core.ifftn(f, axis_num, engine=engine)
-    else:
-        f = fft_core.irfftn(f, axis_num, engine=engine)
+    f = _run_core(f, axis_num, "ifft" if real_dim is None else "irfft",
+                  engine)
 
     if not true_phase:
         f = fft_core.ifftshift(f, axes=axis_num)
