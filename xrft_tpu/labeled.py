@@ -217,6 +217,10 @@ class LabeledArray:
             from .ops.fft_core import use_split_complex
 
             data = carray.as_pair(data) if use_split_complex() else jnp.asarray(data)
+        elif isinstance(data, np.ndarray) and data.dtype.kind in "fiub":
+            # numeric numpy -> device array once at construction; otherwise
+            # every jit invocation re-transfers the buffer host->device
+            data = jnp.asarray(data)
         if dims is None:
             dims = tuple(f"dim_{i}" for i in range(data.ndim))
         elif isinstance(dims, str):
@@ -376,6 +380,36 @@ class LabeledArray:
                 new_coords[cname] = c.copy()
         out.coords = new_coords
         return out
+
+    def sel(self, indexers=None, method=None, **indexers_kwargs
+            ) -> "LabeledArray":
+        """Select by coordinate value along 1-D dim coords (xarray-style).
+
+        method=None requires exact matches; method='nearest' picks the
+        closest coordinate value.
+        """
+        indexers = dict(indexers or {})
+        indexers.update(indexers_kwargs)
+        isel_map = {}
+        for d, target in indexers.items():
+            if d not in self.coords:
+                raise KeyError(f"no coordinate for dim {d!r}")
+            vals = self.coords[d].values
+            scalar = np.ndim(target) == 0
+            targets = np.atleast_1d(np.asarray(target))
+            idx = []
+            for tv in targets:
+                if method == "nearest":
+                    idx.append(int(np.argmin(np.abs(vals - tv))))
+                else:
+                    hits = np.nonzero(vals == tv)[0]
+                    if hits.size == 0:
+                        raise KeyError(
+                            f"value {tv!r} not found in coordinate {d!r}"
+                        )
+                    idx.append(int(hits[0]))
+            isel_map[d] = idx[0] if scalar else np.asarray(idx)
+        return self.isel(isel_map)
 
     def sortby(self, dim) -> "LabeledArray":
         """Sort along one or more dims by their 1-D dim-coordinate values."""
