@@ -373,3 +373,23 @@ def test_lag_list_with_none():
     npt.assert_allclose(back.values.real, sig, atol=1e-10)
     with pytest.raises(ValueError, match="same length"):
         ifft(F, lag=[1.0])
+
+
+@pytest.mark.parametrize("mode", MODES)
+def test_real_dft_is_half_of_full(mode):
+    """Real transform equals the conjugate-mirrored upper half of the full
+    transform with true_phase (port of test_xrft.py:1231-1250)."""
+    Nx = 40
+    rng = np.random.RandomState(12)
+    dx = rng.rand()
+    xc = dx * (np.arange(-Nx // 2, -Nx // 2 + Nx)
+               + rng.randint(-Nx // 2, Nx // 2))
+    sig = rng.rand(Nx)
+    with complex_mode(mode):
+        s = LabeledArray(sig, dims=["x"], coords={"x": xc})
+        s1 = fft(s, dim="x", true_phase=True, shift=True,
+                 true_amplitude=False)
+        s2 = fft(s, real_dim="x", true_phase=True, shift=True,
+                 true_amplitude=False)
+        half = np.conj(s1.values[: s1.sizes["freq_x"] // 2 + 1])[::-1]
+        npt.assert_allclose(half, s2.values, atol=1e-11)
