@@ -28,9 +28,12 @@ class _Config:
     #   "matmul" - always use the four-step/Bluestein matmul engine.
     fft_engine: str = "auto"
     # Largest size for which a direct O(N^2) DFT matmul is used before
-    # switching to the four-step factorization.  128..1024 are reasonable;
-    # the MXU keeps direct matmuls at high utilization up to ~1k.
-    direct_dft_max: int = 512
+    # switching to the four-step factorization.  Swept on the v5e
+    # (8x4096x4096 2-D FFT, HIGHEST precision): 128 -> 78.7 ms,
+    # 512 -> 109 ms, 1024 -> 125 ms, all at 1.5e-7 relative error — the
+    # engine is memory-bound, so smaller radices (less compute per pass)
+    # win until pass count grows.
+    direct_dft_max: int = 128
     # Complex-number representation:
     #   "auto"   - native complex dtypes on CPU/GPU; split (re, im) pairs on
     #              TPU, where complex HLOs do not execute.
@@ -38,10 +41,17 @@ class _Config:
     #   "split"  - force split pairs (tests use this on CPU to validate the
     #              exact TPU code path).
     complex_mode: str = "auto"
-    # Extended-precision accumulation for the matmul engine when inputs are
-    # complex64 ("float32x2" double-word arithmetic). "never" | "always".
-    # Overridden per-call via fft(..., precision=...).
-    extended_precision: str = "never"
+    # MXU matmul precision for the FFT engine: "highest" (6-pass bf16,
+    # ~f32 accuracy), "high" (3-pass), or "default" (fastest, lowest
+    # accuracy).  f64 inputs always use exact f64 arithmetic (CPU).
+    matmul_precision: str = "highest"
+    # Fused Pallas four-step FFT kernel: "never" (default — the Mosaic
+    # build in this toolchain rejects the kernel's lane-splitting reshapes
+    # with "infer-vector-layout: unsupported shape cast"), "auto" (TPU,
+    # f32, N=n1*n2 with n1,n2<=256), or "always" (tests: interpret mode
+    # on CPU).  The kernel itself is validated in interpret mode; flip to
+    # "auto" when the toolchain gains 3-D vector layout support.
+    pallas_fft: str = "never"
 
 
 config = _Config()

@@ -45,7 +45,15 @@ from .carray import ComplexPair, as_pair, is_pair
 
 __all__ = ["fft_last", "matmul_fft_nd"]
 
-_HIGHEST = jax.lax.Precision.HIGHEST
+_PRECISIONS = {
+    "default": jax.lax.Precision.DEFAULT,
+    "high": jax.lax.Precision.HIGH,
+    "highest": jax.lax.Precision.HIGHEST,
+}
+
+
+def _precision():
+    return _PRECISIONS[config.matmul_precision]
 
 
 # --------------------------------------------------------------------------
@@ -131,15 +139,24 @@ def _wparts(w_np: np.ndarray, rdtype):
     return wr, wi
 
 
-def _apply_dft(x, w_np: np.ndarray, rdtype, contract_axis: int) -> ComplexPair:
+def _apply_dft(x, w_np: np.ndarray, rdtype, contract_axis: int,
+               out_swapped: bool = False) -> ComplexPair:
     """Contract x (real array or ComplexPair) along ``contract_axis``
     (-1 or -2) with the DFT matrix: 2 real matmuls for real input, 4 for
-    complex — all at full f32/f64 MXU/ALU rate."""
-    eq = "...j,jk->...k" if contract_axis == -1 else "...jm,jk->...km"
+    complex — all at full f32/f64 MXU/ALU rate.
+
+    out_swapped=True (with contract_axis=-1 on a (..., m, j) input) emits
+    the result with the last two axes already swapped: (..., k, m)."""
+    if out_swapped:
+        eq = "...mj,jk->...km"
+    else:
+        eq = "...j,jk->...k" if contract_axis == -1 else "...jm,jk->...km"
     wr, wi = _wparts(w_np, rdtype)
 
+    prec = _precision()
+
     def mm(a, w):
-        return jnp.einsum(eq, a, w, precision=_HIGHEST)
+        return jnp.einsum(eq, a, w, precision=prec)
 
     if not is_pair(x):
         xr = x.astype(rdtype)
@@ -174,6 +191,13 @@ def _fft_last_impl(x, n, sign, rdtype) -> ComplexPair:
         return x if is_pair(x) else ComplexPair(x.astype(rdtype), jnp.zeros_like(x, dtype=rdtype))
     if n <= config.direct_dft_max:
         return _apply_dft(x, _dft_matrix_np(n, sign), rdtype, -1)
+    from .pallas_fft import can_use_pallas, pallas_fft_last
+
+    rows = 1
+    for s in x.shape[:-1]:
+        rows *= s
+    if can_use_pallas(n, rows, rdtype):
+        return pallas_fft_last(x, sign)
     n1 = _largest_small_divisor(n, config.direct_dft_max)
     if n1 == 1:
         return _bluestein_last(x, n, sign, rdtype)
@@ -183,9 +207,15 @@ def _fft_last_impl(x, n, sign, rdtype) -> ComplexPair:
     # DFT over the n1 axis (axis -2): B[k1, m2] = sum_j A[j, m2] W[j, k1]
     a = _apply_dft(a, _dft_matrix_np(n1, sign), rdtype, -2)
     a = a * _tw_const(_twiddle_np(n1, n2, sign), rdtype)
-    a = _fft_last_impl(a, n2, sign, rdtype)
-    # X[k1 + n1*k2] = D[k1, k2] -> swap axes so flattening yields k2*n1+k1
-    a = carray.swapaxes(a, -1, -2)
+    if n2 <= config.direct_dft_max:
+        # fuse the tail DFT with the output permutation: one einsum emits
+        # the (k2, k1) layout directly, saving a full memory pass
+        a = _apply_dft(a, _dft_matrix_np(n2, sign), rdtype, -1,
+                       out_swapped=True)
+    else:
+        a = _fft_last_impl(a, n2, sign, rdtype)
+        # X[k1 + n1*k2] = D[k1, k2] -> swap so flattening yields k2*n1+k1
+        a = carray.swapaxes(a, -1, -2)
     return carray.reshape(a, shape[:-1] + (n,))
 
 
