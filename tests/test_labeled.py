@@ -96,7 +96,9 @@ def test_pytree_jit_roundtrip():
 
 def test_split_complex_data_ops():
     with complex_mode("split"):
-        z = np.random.randn(4, 4) + 1j * np.random.randn(4, 4)
+        z = (np.random.randn(4, 4) + 1j * np.random.randn(4, 4)).astype(
+            np.complex64
+        )  # complex128 stays host-resident; complex64 splits
         da = LabeledArray(z, dims=("a", "b"))
         assert carray.is_pair(da.data)
         npt.assert_allclose(da.conj().values, z.conj(), atol=1e-12)

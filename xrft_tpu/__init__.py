@@ -20,5 +20,6 @@ from .isotropic import (  # noqa: F401
 )
 from .detrend import detrend  # noqa: F401
 from .padding import pad, unpad  # noqa: F401
+from .highprec import fft64, ifft64  # noqa: F401
 
 __version__ = "0.1.0"

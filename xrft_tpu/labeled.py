@@ -211,8 +211,13 @@ class LabeledArray:
             data = data.data
         if not isinstance(data, (jax.Array, np.ndarray, ComplexPair)):
             data = np.asarray(data)
-        if isinstance(data, np.ndarray) and data.dtype.kind == "c":
-            # complex numpy input: split on host when the backend cannot
+        if isinstance(data, np.ndarray) and data.dtype == np.complex128:
+            # complex128 stays host-resident: converting would silently drop
+            # precision (split pairs and non-x64 jnp are float32-grade), and
+            # the high-precision (df64) results depend on keeping it
+            pass
+        elif isinstance(data, np.ndarray) and data.dtype.kind == "c":
+            # complex64 numpy input: split on host when the backend cannot
             # execute complex dtypes (TPU); else device-put as native
             from .ops.fft_core import use_split_complex
 
