@@ -111,3 +111,27 @@ def test_dispatcher_engines_agree():
     with fft_engine("matmul"):
         b = np.asarray(fft_core.fftn(x, [0, 1]))
     npt.assert_allclose(a, b, atol=1e-10 * np.abs(a).max())
+
+
+@pytest.mark.parametrize("n", [16, 30, 100, 128, 4096, 97, 27])
+def test_absorbed_shifts_match_numpy(n):
+    """pre (ifftshift) / post (fftshift) flags match explicit numpy
+    composition for even (absorbed) and odd (fallback-roll) sizes."""
+    from xrft_tpu.ops.matmul_fft import fft_last
+    rng = np.random.RandomState(n)
+    x = rng.randn(3, n) + 1j * rng.randn(3, n)
+    ref = np.fft.fftshift(
+        np.fft.fft(np.fft.ifftshift(x, axes=-1), axis=-1), axes=-1
+    )
+    got = np.asarray(fft_last(np.asarray(x), -1, pre_shift=True,
+                              post_shift=True))
+    scale = np.abs(ref).max()
+    npt.assert_allclose(got / scale, ref / scale, atol=1e-11)
+    # pre only
+    ref = np.fft.fft(np.fft.ifftshift(x, axes=-1), axis=-1)
+    got = np.asarray(fft_last(np.asarray(x), -1, pre_shift=True))
+    npt.assert_allclose(got / scale, ref / scale, atol=1e-11)
+    # post only
+    ref = np.fft.fftshift(np.fft.fft(x, axis=-1), axes=-1)
+    got = np.asarray(fft_last(np.asarray(x), -1, post_shift=True))
+    npt.assert_allclose(got / scale, ref / scale, atol=1e-11)

@@ -59,7 +59,8 @@ def _xla_fft_nd(x, axes, kind):
     raise ValueError(kind)
 
 
-def _dispatch(x, axes, kind, engine=None):
+def _dispatch(x, axes, kind, engine=None, pre_shift_axes=(),
+              post_shift_axes=()):
     if isinstance(axes, int):
         axes = [axes]
     split_in = is_pair(x)
@@ -71,35 +72,52 @@ def _dispatch(x, axes, kind, engine=None):
         else:
             x = jnp.asarray(arr)
     axes = [a % x.ndim for a in axes]
+    pre = [a % x.ndim for a in pre_shift_axes]
+    post = [a % x.ndim for a in post_shift_axes]
     split_out = split_in or use_split_complex()
     engine = resolve_fft_engine(engine)
     if engine == "xla":
+        if pre:
+            x = carray.ifftshift(x, pre)
         out = _xla_fft_nd(as_native(x), tuple(axes), kind)
+        if post:
+            out = carray.fftshift(out, post)
         if split_out and np.dtype(out.dtype).kind == "c":
             out = as_pair(out)
         return out
-    out = matmul_fft_nd(x, axes, kind)
+    if kind in ("fft", "rfft"):
+        # shifts are absorbed into the engine's constant matrices
+        out = matmul_fft_nd(x, axes, kind, pre, post)
+    else:
+        if pre:
+            x = carray.ifftshift(x, pre)
+        out = matmul_fft_nd(x, axes, kind)
+        if post:
+            out = carray.fftshift(out, post)
     if not split_out and is_pair(out):
         out = as_native(out)
     return out
 
 
-def fftn(x, axes, engine=None):
-    return _dispatch(x, axes, "fft", engine)
+def fftn(x, axes, engine=None, pre_shift_axes=(), post_shift_axes=()):
+    return _dispatch(x, axes, "fft", engine, pre_shift_axes, post_shift_axes)
 
 
-def ifftn(x, axes, engine=None):
-    return _dispatch(x, axes, "ifft", engine)
+def ifftn(x, axes, engine=None, pre_shift_axes=(), post_shift_axes=()):
+    return _dispatch(x, axes, "ifft", engine, pre_shift_axes,
+                     post_shift_axes)
 
 
-def rfftn(x, axes, engine=None):
+def rfftn(x, axes, engine=None, pre_shift_axes=(), post_shift_axes=()):
     """Real N-D FFT; the real (half-spectrum) axis is ``axes[-1]`` which
     must be the trailing axis of ``x``."""
-    return _dispatch(x, axes, "rfft", engine)
+    return _dispatch(x, axes, "rfft", engine, pre_shift_axes,
+                     post_shift_axes)
 
 
-def irfftn(x, axes, engine=None):
-    return _dispatch(x, axes, "irfft", engine)
+def irfftn(x, axes, engine=None, pre_shift_axes=(), post_shift_axes=()):
+    return _dispatch(x, axes, "irfft", engine, pre_shift_axes,
+                     post_shift_axes)
 
 
 def fftshift(x, axes):

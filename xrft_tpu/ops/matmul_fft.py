@@ -62,12 +62,26 @@ def _precision():
 
 
 @lru_cache(maxsize=None)
-def _dft_matrix_np(n: int, sign: int) -> np.ndarray:
-    """Dense DFT matrix W[j,k] = exp(sign*2*pi*i*j*k/n), complex128."""
+def _dft_matrix_np(n: int, sign: int, pre: bool = False,
+                   post: bool = False) -> np.ndarray:
+    """Dense DFT matrix W[j,k] = exp(sign*2*pi*i*j*k/n), complex128.
+
+    ``pre`` bakes an input ifftshift into the matrix (row permutation);
+    ``post`` bakes an output fftshift (column permutation) — shifts become
+    free host-side index permutations instead of device memory passes.
+    """
     j = np.arange(n, dtype=np.int64)
     jk = np.mod(np.outer(j, j), n)  # exact for any practical n
     ang = (2.0 * np.pi * sign / n) * jk
-    return np.cos(ang) + 1j * np.sin(ang)
+    w = np.cos(ang) + 1j * np.sin(ang)
+    if pre:
+        # x' = ifftshift(x): sum_j x'[j] W[j,k] = sum_i x[i] W[pinv[i],k]
+        # with pinv = the fftshift permutation (inverse of ifftshift)
+        w = w[np.fft.fftshift(np.arange(n)), :]
+    if post:
+        # out' = fftshift(out): out'[k] = out[fs[k]]
+        w = w[:, np.fft.fftshift(np.arange(n))]
+    return w
 
 
 @lru_cache(maxsize=None)
@@ -170,12 +184,16 @@ def _tw_const(w_np: np.ndarray, rdtype) -> ComplexPair:
     return ComplexPair(*_wparts(w_np, rdtype))
 
 
-def fft_last(x, sign: int = -1) -> ComplexPair:
+def fft_last(x, sign: int = -1, pre_shift: bool = False,
+             post_shift: bool = False) -> ComplexPair:
     """Unnormalized DFT along the last axis; any static size.
 
     Input: real jax array, native complex array, or ComplexPair.
     Output: always a ComplexPair (callers pick the final representation).
     ``sign=-1`` is the forward transform, ``+1`` the unnormalized inverse.
+    ``pre_shift`` applies an input ifftshift and ``post_shift`` an output
+    fftshift — absorbed into the constant matrices wherever the
+    factorization allows (even factors), falling back to explicit rolls.
     """
     if not is_pair(x):
         x = jnp.asarray(x) if not isinstance(x, jax.Array) else x
@@ -183,40 +201,60 @@ def fft_last(x, sign: int = -1) -> ComplexPair:
             x = as_pair(x)
     rdtype = _rdtype_of(x)
     n = x.shape[-1]
-    return _fft_last_impl(x, n, sign, rdtype)
+    return _fft_last_impl(x, n, sign, rdtype, pre_shift, post_shift)
 
 
-def _fft_last_impl(x, n, sign, rdtype) -> ComplexPair:
+def _roll_last(x, shift):
+    return carray._map(x, lambda v: jnp.roll(v, shift, axis=-1)) \
+        if is_pair(x) else jnp.roll(x, shift, axis=-1)
+
+
+def _fft_last_impl(x, n, sign, rdtype, pre=False, post=False) -> ComplexPair:
     if n == 1:
         return x if is_pair(x) else ComplexPair(x.astype(rdtype), jnp.zeros_like(x, dtype=rdtype))
     if n <= config.direct_dft_max:
-        return _apply_dft(x, _dft_matrix_np(n, sign), rdtype, -1)
+        return _apply_dft(x, _dft_matrix_np(n, sign, pre, post), rdtype, -1)
     from .pallas_fft import can_use_pallas, pallas_fft_last
 
     rows = 1
     for s in x.shape[:-1]:
         rows *= s
-    if can_use_pallas(n, rows, rdtype):
+    if (not pre and not post) and can_use_pallas(n, rows, rdtype):
         return pallas_fft_last(x, sign)
     n1 = _largest_small_divisor(n, config.direct_dft_max)
     if n1 == 1:
-        return _bluestein_last(x, n, sign, rdtype)
+        if pre:   # explicit ifftshift: roll by -(n//2)
+            x = _roll_last(x, -(n // 2))
+        out = _bluestein_last(x, n, sign, rdtype)
+        if post:  # explicit fftshift: roll by n//2
+            out = _roll_last(out, n // 2)
+        return out
     n2 = n // n1
+    # absorb shifts into factor-level permutations where the factor parity
+    # allows (input ifftshift -> j1 permutation iff n1 even; output
+    # fftshift -> k2 permutation iff n2 even); else fall back to rolls
+    pre1 = pre and n1 % 2 == 0
+    post2 = post and n2 % 2 == 0
+    if pre and not pre1:
+        x = _roll_last(x, -(n // 2))
     shape = x.shape
     a = carray.reshape(x, shape[:-1] + (n1, n2)) if is_pair(x) else x.reshape(shape[:-1] + (n1, n2))
     # DFT over the n1 axis (axis -2): B[k1, m2] = sum_j A[j, m2] W[j, k1]
-    a = _apply_dft(a, _dft_matrix_np(n1, sign), rdtype, -2)
+    a = _apply_dft(a, _dft_matrix_np(n1, sign, pre1, False), rdtype, -2)
     a = a * _tw_const(_twiddle_np(n1, n2, sign), rdtype)
     if n2 <= config.direct_dft_max:
         # fuse the tail DFT with the output permutation: one einsum emits
         # the (k2, k1) layout directly, saving a full memory pass
-        a = _apply_dft(a, _dft_matrix_np(n2, sign), rdtype, -1,
+        a = _apply_dft(a, _dft_matrix_np(n2, sign, False, post2), rdtype, -1,
                        out_swapped=True)
     else:
-        a = _fft_last_impl(a, n2, sign, rdtype)
+        a = _fft_last_impl(a, n2, sign, rdtype, False, post2)
         # X[k1 + n1*k2] = D[k1, k2] -> swap so flattening yields k2*n1+k1
         a = carray.swapaxes(a, -1, -2)
-    return carray.reshape(a, shape[:-1] + (n,))
+    out = carray.reshape(a, shape[:-1] + (n,))
+    if post and not post2:
+        out = _roll_last(out, n // 2)
+    return out
 
 
 def _bluestein_last(x, n, sign, rdtype) -> ComplexPair:
@@ -236,16 +274,16 @@ def _bluestein_last(x, n, sign, rdtype) -> ComplexPair:
 # --------------------------------------------------------------------------
 
 
-def _transform_axis(x, axis, sign) -> ComplexPair:
+def _transform_axis(x, axis, sign, pre=False, post=False) -> ComplexPair:
     ndim = x.ndim
     if axis in (-1, ndim - 1):
-        return fft_last(x, sign)
+        return fft_last(x, sign, pre, post)
     y = carray.moveaxis(x, axis, -1)
-    y = fft_last(y, sign)
+    y = fft_last(y, sign, pre, post)
     return carray.moveaxis(y, -1, axis)
 
 
-def matmul_fft_nd(x, axes, kind: str):
+def matmul_fft_nd(x, axes, kind: str, pre_shift_axes=(), post_shift_axes=()):
     """N-D FFT via per-axis matmul transforms; returns a ComplexPair for
     the complex kinds and a real array for 'irfft'.
 
@@ -258,10 +296,13 @@ def matmul_fft_nd(x, axes, kind: str):
         x = as_pair(x) if np.dtype(np.asarray(x).dtype).kind == "c" else jnp.asarray(x)
     ndim = x.ndim
     axes = [a % ndim for a in axes]
+    pre_shift_axes = {a % ndim for a in pre_shift_axes}
+    post_shift_axes = {a % ndim for a in post_shift_axes}
     if kind == "fft":
         out = x
         for a in axes:
-            out = _transform_axis(out, a, -1)
+            out = _transform_axis(out, a, -1, a in pre_shift_axes,
+                                  a in post_shift_axes)
         return out
     if kind == "ifft":
         out = x
@@ -274,9 +315,11 @@ def matmul_fft_nd(x, axes, kind: str):
         if axes[-1] != ndim - 1:
             raise ValueError("rfft axis must be the last axis")
         n = x.shape[-1]
-        out = fft_last(x, -1)[..., : n // 2 + 1]
+        out = fft_last(x, -1, axes[-1] in pre_shift_axes,
+                       False)[..., : n // 2 + 1]
         for a in axes[:-1]:
-            out = _transform_axis(out, a, -1)
+            out = _transform_axis(out, a, -1, a in pre_shift_axes,
+                                  a in post_shift_axes)
         return out
     if kind == "irfft":
         if axes[-1] != ndim - 1:

@@ -28,14 +28,24 @@ from .ops import carray, fft_core
 __all__ = ["fft", "ifft", "dft", "idft"]
 
 
-def _run_core(data, axes, kind, engine):
+def _run_core(data, axes, kind, engine, pre_shift_axes=(),
+              post_shift_axes=()):
     """Run the core N-D transform; `engine` may be an engine name or a
-    callable(data, axes, kind) (used by the distributed pencil path)."""
+    callable(data, axes, kind) (used by the distributed pencil path).
+    Input-ifftshift / output-fftshift requests are forwarded to the engine
+    (the matmul engine absorbs them into its constant matrices — zero
+    device cost); callable engines get explicit shifts here."""
     if callable(engine):
-        return engine(data, axes, kind)
+        if pre_shift_axes:
+            data = fft_core.ifftshift(data, list(pre_shift_axes))
+        out = engine(data, axes, kind)
+        if post_shift_axes:
+            out = fft_core.fftshift(out, list(post_shift_axes))
+        return out
     fn = {"fft": fft_core.fftn, "ifft": fft_core.ifftn,
           "rfft": fft_core.rfftn, "irfft": fft_core.irfftn}[kind]
-    return fn(data, axes, engine=engine)
+    return fn(data, axes, engine=engine, pre_shift_axes=pre_shift_axes,
+              post_shift_axes=post_shift_axes)
 
 _real_flag_warning = (
     "`real` flag will be deprecated in future version of xrft_tpu.fft and "
@@ -214,13 +224,11 @@ def fft(
         ]
         if reversed_axes:
             data = carray.flip(data, reversed_axes)
-        data = fft_core.ifftshift(data, axes=axis_num)
 
     f = _run_core(data, axis_num, "fft" if real_dim is None else "rfft",
-                  engine)
-
-    if shift:
-        f = fft_core.fftshift(f, axes=axis_num)
+                  engine,
+                  pre_shift_axes=axis_num if true_phase else (),
+                  post_shift_axes=axis_num if shift else ())
 
     k = ce.freq_grids(N, delta_x, real_dim is not None, shift)
 
