@@ -51,19 +51,26 @@ def main():
     t1 = time.perf_counter()
     tpu_ms = (t1 - t0) / iters * 1e3
 
-    # numpy/pocketfft baseline: same math, one 4096^2 slice, scaled to B
+    # numpy/pocketfft baseline: same math, one 4096^2 slice, scaled to B;
+    # min of 3 runs to suppress host-load noise
     v = data[0].astype(np.float64)
-    t2 = time.perf_counter()
     i = np.arange(N) - (N - 1) / 2
-    vm = v - v.mean()
-    sy = (vm * i[:, None]).sum(axis=0) / (i**2).sum()
-    sx = (vm * i[None, :]).sum(axis=1) / (i**2).sum()
-    vd = vm - i[:, None] * sy[None, :] - sx[:, None] * i[None, :]
     w = sps.windows.hann(N, sym=False)
-    F = np.fft.fftshift(np.fft.fftn(vd * (w * w[:, None]))) * 0.25
-    ps_np = (np.abs(F) ** 2) * (1.0 / (N * 0.5)) ** 2
-    t3 = time.perf_counter()
-    np_ms = (t3 - t2) * 1e3 * B
+
+    def np_pipeline():
+        vm = v - v.mean()
+        sy = (vm * i[:, None]).sum(axis=0) / (i**2).sum()
+        sx = (vm * i[None, :]).sum(axis=1) / (i**2).sum()
+        vd = vm - i[:, None] * sy[None, :] - sx[:, None] * i[None, :]
+        F = np.fft.fftshift(np.fft.fftn(vd * (w * w[:, None]))) * 0.25
+        return (np.abs(F) ** 2) * (1.0 / (N * 0.5)) ** 2
+
+    best = np.inf
+    for _ in range(3):
+        t2 = time.perf_counter()
+        np_pipeline()
+        best = min(best, time.perf_counter() - t2)
+    np_ms = best * 1e3 * B
 
     # HBM roofline estimate: minimal traffic for the fused pipeline
     # (read input once, write |F|^2 once, plus 2 r/w complex passes per FFT

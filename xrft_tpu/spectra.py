@@ -14,11 +14,13 @@ from __future__ import annotations
 
 import warnings
 
+import jax.numpy as jnp
 import numpy as np
 
+from . import coords as ce
 from .labeled import Coord, LabeledArray
 from .ops import carray
-from .transform import fft, _real_flag_warning
+from .transform import _dim_coord, fft, _real_flag_warning
 
 __all__ = ["power_spectrum", "cross_spectrum", "cross_phase"]
 
@@ -78,6 +80,89 @@ def _pop_density(kwargs, fname, scaling):
     return kwargs, scaling
 
 
+def _half_spectrum_dim(da, dim, real_dim, kwargs):
+    """If the two-sided power spectrum of real data is requested, pick the
+    transform dim to compute one-sided (Hermitian symmetry halves the work
+    on every *other* transform axis); None disables the optimization."""
+    if real_dim is not None or kwargs.get("engine") is not None:
+        return None
+    if kwargs.get("chunks_to_segments"):
+        return None  # segment reshaping happens inside fft; keep it simple
+    data = da.data
+    if carray.is_pair(data) or np.dtype(data.dtype).kind == "c":
+        return None
+    dims = _norm_dim_list(da, dim)
+    if len(dims) < 2:
+        return None  # no other axes to save on
+    return dims[-1]
+
+
+def _norm_dim_list(da, dim):
+    if dim is None:
+        return list(da.dims)
+    if isinstance(dim, str):
+        return [dim]
+    return list(dim)
+
+
+def _power_spectrum_via_rfft(da, dim, half_dim, kwargs):
+    """|F|^2 on the full grid, computed from the one-sided transform of
+    real input and mirrored via Hermitian symmetry:
+
+        |F[k_o, k]|^2 == |F[-k_o mod n_o, n - k]|^2
+
+    so the two-sided PSD is the half PSD concatenated with its tail
+    index-reversed along *all* transform axes.  Saves ~half the transform
+    work on every non-half axis plus half the |.|^2 pass.
+    """
+    dims = _norm_dim_list(da, dim)
+    shift = kwargs.pop("shift", True)
+    n_full = da.sizes[half_dim]
+    daft = fft(da, dim=dims, real_dim=half_dim, shift=False, **kwargs)
+    ps_half = carray.abs2(daft.data)
+
+    fd = {d: ce.freq_dim_name(d, kwargs.get("prefix", "freq_")) for d in dims}
+    half_f = fd[half_dim]
+    ax_half = daft.get_axis_num(half_f)
+    m = daft.sizes[half_f]
+
+    # tail: k = m..n-1 maps to (n-k reversed) on the half axis and to
+    # (-i mod n_a) on every other transform axis
+    ndim = len(daft.dims)
+    key = [slice(None)] * ndim
+    key[ax_half] = slice(1, n_full - m + 1)
+    tail = carray.getitem(ps_half, tuple(key))
+    tail = carray.flip(tail, [ax_half])
+    for d in dims:
+        if d == half_dim:
+            continue
+        a = daft.get_axis_num(fd[d])
+        na = daft.sizes[fd[d]]
+        perm = (-np.arange(na)) % na
+        tail = carray.take(tail, jnp.asarray(perm), axis=a)
+    full = carray.concatenate([ps_half, tail], axis=ax_half)
+
+    freq_axes = [daft.get_axis_num(fd[d]) for d in dims]
+    if shift:
+        full = carray.fftshift(full, freq_axes)
+
+    # rebuild coordinates for the full two-sided grid
+    delta = [
+        ce.get_coordinate_spacing(_dim_coord(da, d),
+                                  kwargs.get("spacing_tol", 1e-3))
+        for d in dims
+    ]
+    sizes = [n_full if d == half_dim else da.sizes[d] for d in dims]
+    grids = ce.freq_grids(sizes, delta, False, shift)
+    out_coords = {c: v.copy() for c, v in daft.coords.items()
+                  if c not in fd.values()}
+    for d, g in zip(dims, grids):
+        out_coords[fd[d]] = Coord((fd[d],), g, {"spacing": g[1] - g[0]},
+                                  fd[d])
+    return LabeledArray(full, dims=daft.dims, coords=out_coords,
+                        name=da.name)
+
+
 def power_spectrum(
     da: LabeledArray,
     dim=None,
@@ -103,12 +188,19 @@ def power_spectrum(
     # true_phase does not matter for |F|^2; forced off to skip phase work
     kwargs.update({"true_amplitude": True, "true_phase": False})
 
-    daft = fft(da, dim=dim, real_dim=real_dim, **kwargs)
-    updated_dims = [
-        d for d in daft.dims if (d not in da.dims and "segment" not in d)
-    ]
-    ps = daft.copy(data=carray.abs2(daft.data))
-    ps.attrs = {}
+    half = _half_spectrum_dim(da, dim, real_dim, kwargs)
+    if half is not None:
+        ps = _power_spectrum_via_rfft(da, dim, half, kwargs)
+        updated_dims = [
+            d for d in ps.dims if (d not in da.dims and "segment" not in d)
+        ]
+    else:
+        daft = fft(da, dim=dim, real_dim=real_dim, **kwargs)
+        updated_dims = [
+            d for d in daft.dims if (d not in da.dims and "segment" not in d)
+        ]
+        ps = daft.copy(data=carray.abs2(daft.data))
+        ps.attrs = {}
 
     if real_dim is not None:
         ps = ps * _psd_real_dim_scaling(da, ps, real_dim, updated_dims)
