@@ -1,0 +1,35 @@
+"""Phase-preserving DFT/iDFT of a truncated cosine.
+
+Runnable port of the reference's ``doc/DFT-iDFT_example.ipynb``: a cosine
+burst on an uncentered grid, transformed with and without ``true_phase``,
+compared against the analytic sinc pair, and inverted back onto its
+original coordinates.
+"""
+
+import numpy as np
+
+import xrft_tpu
+from xrft_tpu import LabeledArray
+
+k0 = 1 / 0.52
+T = 4.0
+dx = 0.02
+x = np.arange(-2 * T, 2 * T, dx)
+y = np.cos(2 * np.pi * k0 * x)
+y[np.abs(x) > T / 2] = 0.0
+da = LabeledArray(y, dims=("x",), coords={"x": x}, name="signal")
+
+# Fourier transform with phase/amplitude preservation vs numpy-like
+da_dft = xrft_tpu.fft(da, true_phase=True, true_amplitude=True)
+da_fft = xrft_tpu.fft(da, true_phase=False, true_amplitude=False)
+
+k = da_dft["freq_x"].values
+TF_theory = T / 2 * (np.sinc(T * (k - k0)) + np.sinc(T * (k + k0)))
+err = np.abs(da_dft.values.real - TF_theory).max()
+print(f"max deviation from analytic sinc pair: {err:.2e}")
+
+# inverse transform restores the signal on its original grid
+ida = xrft_tpu.ifft(da_dft, true_phase=True, true_amplitude=True,
+                    lag=da_dft["freq_x"].attrs["direct_lag"])
+print(f"roundtrip max error: {np.abs(ida.values.real - y).max():.2e}")
+print(f"coordinates restored: {np.allclose(ida['x'].values, x)}")
