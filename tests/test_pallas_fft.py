@@ -60,3 +60,23 @@ def test_gating():
         assert not can_use_pallas(4096, 128, np.float32)
     finally:
         config.pallas_fft = old
+
+
+@pytest.mark.parametrize("n,rows", [(1024, 12), (4096, 8)])
+def test_rowtile_kernel_real(n, rows):
+    from xrft_tpu.ops.pallas_fft import pallas_fft_rowtile
+    x = np.random.RandomState(n).randn(rows, n).astype(np.float32)
+    got = to_numpy(pallas_fft_rowtile(jnp.asarray(x), -1, interpret=True))
+    ref = np.fft.fft(x.astype(np.float64), axis=-1)
+    npt.assert_allclose(got / np.abs(ref).max(), ref / np.abs(ref).max(),
+                        atol=2e-6)
+
+
+def test_rowtile_kernel_complex_inverse():
+    from xrft_tpu.ops.pallas_fft import pallas_fft_rowtile
+    rng = np.random.RandomState(2)
+    z = (rng.randn(6, 1024) + 1j * rng.randn(6, 1024)).astype(np.complex64)
+    got = to_numpy(pallas_fft_rowtile(as_pair(z), +1, interpret=True))
+    ref = np.fft.ifft(z.astype(np.complex128), axis=-1) * 1024
+    npt.assert_allclose(got / np.abs(ref).max(), ref / np.abs(ref).max(),
+                        atol=2e-6)

@@ -123,6 +123,98 @@ def _kernel(complex_in, R, n1, n2,
     oi_ref[:] = di
 
 
+def _rowtile_kernel(complex_in, n1, n2, *refs):
+    """Strictly-2-D four-step over one row tile (Mosaic-compatible).
+
+    Measured on the v5e: compiles and is accurate (2.7e-8), but at ~64 ms
+    per 32768x4096 axis it LOSES to the XLA-composed path (~30 ms): per-row
+    64x64 matmuls run the MXU at ~2.6 TFLOP/s (vs ~15 at K=128 with full
+    row batching), and the 2-D-only constraint of this Mosaic build rules
+    out batching multiple rows into one matmul.  Kept as a documented
+    negative result and a base for future toolchains; the composed path
+    stays the default.
+
+    Works in the transposed layout so the output permutation vanishes:
+    with At = A^T (n2, n1),   B = At @ W1   (m2, k1)
+         C = B * T^T          (twiddle, (n2, n1) constant)
+         D' = W2^T @ C        (k2, k1)
+    and flattening D' row-major gives X[k2*n1 + k1] = X[k] directly.
+    """
+    if complex_in:
+        (xr, xi, w1r, w1i, w2tr, w2ti, ttr, tti, orr, oii) = refs
+    else:
+        (xr, w1r, w1i, w2tr, w2ti, ttr, tti, orr, oii) = refs
+        xi = None
+
+    def mm(a, b):
+        return jnp.dot(a, b, preferred_element_type=jnp.float32,
+                       precision=_HIGHEST)
+
+    at = xr[0].T  # (n2, n1)
+    if xi is None:
+        br = mm(at, w1r[:])
+        bi = mm(at, w1i[:])
+    else:
+        ait = xi[0].T
+        br = mm(at, w1r[:]) - mm(ait, w1i[:])
+        bi = mm(at, w1i[:]) + mm(ait, w1r[:])
+    t_r, t_i = ttr[:], tti[:]
+    cr = br * t_r - bi * t_i
+    ci = br * t_i + bi * t_r
+    orr[0] = mm(w2tr[:], cr) - mm(w2ti[:], ci)
+    oii[0] = mm(w2tr[:], ci) + mm(w2ti[:], cr)
+
+
+def pallas_fft_rowtile(x, sign: int = -1, interpret: bool | None = None
+                       ) -> ComplexPair:
+    """Fused four-step FFT, one row tile per grid step; 2-D ops only.
+
+    One HBM read + one write per transformed axis; the factor transposes
+    happen on 16-64 KB VMEM tiles.
+    """
+    complex_in = is_pair(x)
+    shape = x.shape
+    n = shape[-1]
+    rows = int(np.prod(shape[:-1])) if len(shape) > 1 else 1
+    n1, n2 = _balanced_factors(n)
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+
+    w1 = _dft_matrix_np(n1, sign)
+    w2t = _dft_matrix_np(n2, sign).T
+    tt = _twiddle_np(n1, n2, sign).T  # (n2, n1)
+    f32 = np.float32
+    consts = [
+        jnp.asarray(np.ascontiguousarray(m).astype(f32))
+        for m in (w1.real, w1.imag, w2t.real, w2t.imag, tt.real, tt.imag)
+    ]
+
+    in_spec = pl.BlockSpec((1, n1, n2), lambda i: (i, 0, 0),
+                           memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((1, n2, n1), lambda i: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
+    const_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    n_data = 2 if complex_in else 1
+
+    call = pl.pallas_call(
+        partial(_rowtile_kernel, complex_in, n1, n2),
+        grid=(rows,),
+        in_specs=[in_spec] * n_data + [const_spec] * 6,
+        out_specs=(out_spec, out_spec),
+        out_shape=tuple(
+            jax.ShapeDtypeStruct((rows, n2, n1), jnp.float32)
+            for _ in range(2)
+        ),
+        interpret=interpret,
+    )
+    if complex_in:
+        args = (x.re.reshape(rows, n1, n2), x.im.reshape(rows, n1, n2))
+    else:
+        args = (x.reshape(rows, n1, n2).astype(jnp.float32),)
+    o_re, o_im = call(*args, *consts)
+    return ComplexPair(o_re.reshape(shape), o_im.reshape(shape))
+
+
 def pallas_fft_last(x, sign: int = -1, interpret: bool | None = None
                     ) -> ComplexPair:
     """Fused DFT along the last axis of a real f32 array or f32 ComplexPair.
