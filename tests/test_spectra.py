@@ -247,3 +247,24 @@ def test_segment_spectra_match_per_segment_loop():
                            coords={"t": np.arange(seg) * 0.5})
         ps_i = power_spectrum(sub, dim="t")
         npt.assert_allclose(ps_seg.values[i], ps_i.values, atol=1e-12)
+
+
+@pytest.mark.parametrize("func", ["power_spectrum", "cross_spectrum"])
+def test_keep_multidim_coords(func):
+    """Multi-dim coordinates not touching transform dims survive spectra
+    (port of test_keep_coords)."""
+    T, Y, X = 3, 8, 10
+    lon = np.linspace(0, 1, Y * X).reshape(Y, X)
+    da = LabeledArray(
+        np.random.RandomState(0).rand(T, Y, X),
+        dims=["time", "y", "x"],
+        coords={"time": np.arange(T), "y": np.arange(Y), "x": np.arange(X),
+                "lon": (("y", "x"), lon)},
+    )
+    if func == "power_spectrum":
+        ps = power_spectrum(da, dim="time")
+    else:
+        ps = cross_spectrum(da, da, dim="time", true_phase=False)
+    assert "lon" in ps.coords
+    npt.assert_array_equal(ps.coords["lon"].values, lon)
+    assert "y" in ps.coords and "x" in ps.coords

@@ -393,3 +393,55 @@ def test_real_dft_is_half_of_full(mode):
                  true_amplitude=False)
         half = np.conj(s1.values[: s1.sizes["freq_x"] // 2 + 1])[::-1]
         npt.assert_allclose(half, s2.values, atol=1e-11)
+
+
+def test_spacing_tol():
+    """Loose spacing_tol accepts slightly uneven grids; tight rejects
+    (port of test_xrft.py test_spacing_tol)."""
+    Nx = 16
+    x = np.linspace(0, 1.0, Nx)
+    x[-1] += 0.001
+    da = LabeledArray(np.random.rand(Nx), dims=["x"], coords={"x": x})
+    fft(da, spacing_tol=1e-1)
+    with pytest.raises(ValueError):
+        fft(da, spacing_tol=1e-4)
+
+
+def test_constant_freq_coordinates_raise():
+    """Constant (zero-spacing) coordinates raise on both directions
+    (port of test_constant_coordinates)."""
+    N = 20
+    s = LabeledArray(np.random.rand(N) + 1j * np.random.rand(N),
+                     dims="freq_x", coords={"freq_x": np.zeros(N)})
+    with pytest.raises(ValueError):
+        fft(s, true_phase=False, true_amplitude=False)
+    with pytest.raises(ValueError):
+        ifft(s, true_phase=False, true_amplitude=False, lag=0)
+
+
+@pytest.mark.parametrize("mode", MODES)
+def test_true_phase_preservation_padding(mode):
+    """A signal at the same physical location but with different
+    zero-padding extents yields the same true-phase spectrum
+    (port of test_true_phase_preservation)."""
+    rng = np.random.RandomState(21)
+    x = np.arange(-15, 15)
+    y = rng.rand(len(x))
+    N1, N2 = 9, 14
+    N3 = 5
+    N4 = N1 + N2 - N3
+    def padded(NL, NR):
+        l = np.arange(-NL, 0) + x.min()
+        r = np.arange(1, NR + 1) + x.max()
+        return LabeledArray(
+            np.concatenate([np.zeros(NL), y, np.zeros(NR)]),
+            dims=("x",),
+            coords={"x": np.concatenate([l, x, r])},
+        )
+    with complex_mode(mode):
+        S1 = fft(padded(N1, N2), dim="x", true_phase=True,
+                 true_amplitude=False)
+        S2 = fft(padded(N3, N4), dim="x", true_phase=True,
+                 true_amplitude=False)
+        npt.assert_allclose(S1["freq_x"].values, S2["freq_x"].values)
+        npt.assert_allclose(S1.values, S2.values, atol=1e-11)
