@@ -274,6 +274,37 @@ def _bluestein_last(x, n, sign, rdtype) -> ComplexPair:
 # --------------------------------------------------------------------------
 
 
+@lru_cache(maxsize=None)
+def _pack_twiddle_np(n: int) -> np.ndarray:
+    """w^k = exp(-2*pi*i*k/n) for k = 0..n/2-1 (rfft untangle)."""
+    k = np.arange(n // 2, dtype=np.int64)
+    ang = (-2.0 * np.pi / n) * k
+    return np.cos(ang) + 1j * np.sin(ang)
+
+
+def _rfft_packed_last(x, n) -> ComplexPair:
+    """rfft of real x (last axis, even n) via the even/odd packing trick:
+
+        z = x[0::2] + i x[1::2];  Z = FFT_{n/2}(z)
+        E = (Z + conj(Z[-k]))/2,  O = -i (Z - conj(Z[-k]))/2
+        X[k] = E[k] + w^k O[k] (k < n/2),  X[n/2] = E[0] - O[0]
+    """
+    rdtype = _rdtype_of(x)
+    m = n // 2
+    z = ComplexPair(x[..., 0::2].astype(rdtype), x[..., 1::2].astype(rdtype))
+    Z = _fft_last_impl(z, m, -1, rdtype)
+    idx = jnp.asarray((-np.arange(m)) % m)
+    Zc = carray.conj(carray.take(Z, idx, axis=-1))
+    E = (Z + Zc) * 0.5
+    Od = (Z - Zc) * 0.5          # = i * O
+    O = ComplexPair(Od.im, -Od.re)  # multiply by -i
+    W = _tw_const(_pack_twiddle_np(n), rdtype)
+    head = E + W * O
+    nyq = carray.getitem(E, (Ellipsis, slice(0, 1))) \
+        - carray.getitem(O, (Ellipsis, slice(0, 1)))
+    return carray.concatenate([head, nyq], axis=-1)
+
+
 def _transform_axis(x, axis, sign, pre=False, post=False) -> ComplexPair:
     ndim = x.ndim
     if axis in (-1, ndim - 1):
@@ -315,8 +346,16 @@ def matmul_fft_nd(x, axes, kind: str, pre_shift_axes=(), post_shift_axes=()):
         if axes[-1] != ndim - 1:
             raise ValueError("rfft axis must be the last axis")
         n = x.shape[-1]
-        out = fft_last(x, -1, axes[-1] in pre_shift_axes,
-                       False)[..., : n // 2 + 1]
+        pre_last = axes[-1] in pre_shift_axes
+        if n % 2 == 0 and not is_pair(x) \
+                and np.dtype(x.dtype).kind != "c":
+            # even/odd packing: one complex FFT of length n/2 plus an
+            # elementwise untangle — halves the trailing-axis work
+            if pre_last:
+                x = _roll_last(x, -(n // 2))
+            out = _rfft_packed_last(x, n)
+        else:
+            out = fft_last(x, -1, pre_last, False)[..., : n // 2 + 1]
         for a in axes[:-1]:
             out = _transform_axis(out, a, -1, a in pre_shift_axes,
                                   a in post_shift_axes)
