@@ -135,3 +135,28 @@ def test_absorbed_shifts_match_numpy(n):
     ref = np.fft.fftshift(np.fft.fft(x, axis=-1), axes=-1)
     got = np.asarray(fft_last(np.asarray(x), -1, post_shift=True))
     npt.assert_allclose(got / scale, ref / scale, atol=1e-11)
+
+
+@pytest.mark.parametrize("n", [16, 27, 100])
+def test_ifft_absorbed_shift_kinds(n):
+    """ifft with absorbed pre-ifftshift and both post kinds matches numpy
+    compositions (even absorbed, odd fallback-roll)."""
+    from xrft_tpu.ops.matmul_fft import matmul_fft_nd
+    rng = np.random.RandomState(n)
+    x = rng.randn(3, n) + 1j * rng.randn(3, n)
+    # pre + post fftshift
+    ref = np.fft.fftshift(
+        np.fft.ifft(np.fft.ifftshift(x, axes=-1), axis=-1), axes=-1
+    )
+    got = np.asarray(matmul_fft_nd(np.asarray(x), [-1], "ifft",
+                                   pre_shift_axes=[-1],
+                                   post_shift_axes=[-1],
+                                   post_kind="fftshift"))
+    scale = np.abs(ref).max()
+    npt.assert_allclose(got / scale, ref / scale, atol=1e-12)
+    # post ifftshift
+    ref = np.fft.ifftshift(np.fft.ifft(x, axis=-1), axes=-1)
+    got = np.asarray(matmul_fft_nd(np.asarray(x), [-1], "ifft",
+                                   post_shift_axes=[-1],
+                                   post_kind="ifftshift"))
+    npt.assert_allclose(got / scale, ref / scale, atol=1e-12)

@@ -60,7 +60,7 @@ def _xla_fft_nd(x, axes, kind):
 
 
 def _dispatch(x, axes, kind, engine=None, pre_shift_axes=(),
-              post_shift_axes=()):
+              post_shift_axes=(), post_kind="fftshift"):
     if isinstance(axes, int):
         axes = [axes]
     split_in = is_pair(x)
@@ -76,24 +76,25 @@ def _dispatch(x, axes, kind, engine=None, pre_shift_axes=(),
     post = [a % x.ndim for a in post_shift_axes]
     split_out = split_in or use_split_complex()
     engine = resolve_fft_engine(engine)
+    post_fn = carray.fftshift if post_kind == "fftshift" else carray.ifftshift
     if engine == "xla":
         if pre:
             x = carray.ifftshift(x, pre)
         out = _xla_fft_nd(as_native(x), tuple(axes), kind)
         if post:
-            out = carray.fftshift(out, post)
+            out = post_fn(out, post)
         if split_out and np.dtype(out.dtype).kind == "c":
             out = as_pair(out)
         return out
-    if kind in ("fft", "rfft"):
+    if kind in ("fft", "rfft", "ifft"):
         # shifts are absorbed into the engine's constant matrices
-        out = matmul_fft_nd(x, axes, kind, pre, post)
+        out = matmul_fft_nd(x, axes, kind, pre, post, post_kind)
     else:
         if pre:
             x = carray.ifftshift(x, pre)
         out = matmul_fft_nd(x, axes, kind)
         if post:
-            out = carray.fftshift(out, post)
+            out = post_fn(out, post)
     if not split_out and is_pair(out):
         out = as_native(out)
     return out
@@ -103,9 +104,10 @@ def fftn(x, axes, engine=None, pre_shift_axes=(), post_shift_axes=()):
     return _dispatch(x, axes, "fft", engine, pre_shift_axes, post_shift_axes)
 
 
-def ifftn(x, axes, engine=None, pre_shift_axes=(), post_shift_axes=()):
+def ifftn(x, axes, engine=None, pre_shift_axes=(), post_shift_axes=(),
+          post_kind="fftshift"):
     return _dispatch(x, axes, "ifft", engine, pre_shift_axes,
-                     post_shift_axes)
+                     post_shift_axes, post_kind)
 
 
 def rfftn(x, axes, engine=None, pre_shift_axes=(), post_shift_axes=()):

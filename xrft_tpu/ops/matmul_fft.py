@@ -63,12 +63,13 @@ def _precision():
 
 @lru_cache(maxsize=None)
 def _dft_matrix_np(n: int, sign: int, pre: bool = False,
-                   post: bool = False) -> np.ndarray:
+                   post: str | None = None) -> np.ndarray:
     """Dense DFT matrix W[j,k] = exp(sign*2*pi*i*j*k/n), complex128.
 
     ``pre`` bakes an input ifftshift into the matrix (row permutation);
-    ``post`` bakes an output fftshift (column permutation) — shifts become
-    free host-side index permutations instead of device memory passes.
+    ``post`` ('fftshift' | 'ifftshift') bakes an output shift (column
+    permutation) — shifts become free host-side index permutations
+    instead of device memory passes.
     """
     j = np.arange(n, dtype=np.int64)
     jk = np.mod(np.outer(j, j), n)  # exact for any practical n
@@ -78,9 +79,11 @@ def _dft_matrix_np(n: int, sign: int, pre: bool = False,
         # x' = ifftshift(x): sum_j x'[j] W[j,k] = sum_i x[i] W[pinv[i],k]
         # with pinv = the fftshift permutation (inverse of ifftshift)
         w = w[np.fft.fftshift(np.arange(n)), :]
-    if post:
+    if post == "fftshift":
         # out' = fftshift(out): out'[k] = out[fs[k]]
         w = w[:, np.fft.fftshift(np.arange(n))]
+    elif post == "ifftshift":
+        w = w[:, np.fft.ifftshift(np.arange(n))]
     return w
 
 
@@ -185,7 +188,7 @@ def _tw_const(w_np: np.ndarray, rdtype) -> ComplexPair:
 
 
 def fft_last(x, sign: int = -1, pre_shift: bool = False,
-             post_shift: bool = False) -> ComplexPair:
+             post_shift: str | None = None) -> ComplexPair:
     """Unnormalized DFT along the last axis; any static size.
 
     Input: real jax array, native complex array, or ComplexPair.
@@ -195,6 +198,8 @@ def fft_last(x, sign: int = -1, pre_shift: bool = False,
     fftshift — absorbed into the constant matrices wherever the
     factorization allows (even factors), falling back to explicit rolls.
     """
+    if post_shift is True:  # backward-compatible boolean spelling
+        post_shift = "fftshift"
     if not is_pair(x):
         x = jnp.asarray(x) if not isinstance(x, jax.Array) else x
         if np.dtype(x.dtype).kind == "c":
@@ -209,7 +214,11 @@ def _roll_last(x, shift):
         if is_pair(x) else jnp.roll(x, shift, axis=-1)
 
 
-def _fft_last_impl(x, n, sign, rdtype, pre=False, post=False) -> ComplexPair:
+def _post_roll_amount(n, post):
+    return n // 2 if post == "fftshift" else -(n // 2)
+
+
+def _fft_last_impl(x, n, sign, rdtype, pre=False, post=None) -> ComplexPair:
     if n == 1:
         return x if is_pair(x) else ComplexPair(x.astype(rdtype), jnp.zeros_like(x, dtype=rdtype))
     if n <= config.direct_dft_max:
@@ -226,21 +235,21 @@ def _fft_last_impl(x, n, sign, rdtype, pre=False, post=False) -> ComplexPair:
         if pre:   # explicit ifftshift: roll by -(n//2)
             x = _roll_last(x, -(n // 2))
         out = _bluestein_last(x, n, sign, rdtype)
-        if post:  # explicit fftshift: roll by n//2
-            out = _roll_last(out, n // 2)
+        if post:
+            out = _roll_last(out, _post_roll_amount(n, post))
         return out
     n2 = n // n1
     # absorb shifts into factor-level permutations where the factor parity
     # allows (input ifftshift -> j1 permutation iff n1 even; output
     # fftshift -> k2 permutation iff n2 even); else fall back to rolls
     pre1 = pre and n1 % 2 == 0
-    post2 = post and n2 % 2 == 0
+    post2 = post if (post and n2 % 2 == 0) else None
     if pre and not pre1:
         x = _roll_last(x, -(n // 2))
     shape = x.shape
     a = carray.reshape(x, shape[:-1] + (n1, n2)) if is_pair(x) else x.reshape(shape[:-1] + (n1, n2))
     # DFT over the n1 axis (axis -2): B[k1, m2] = sum_j A[j, m2] W[j, k1]
-    a = _apply_dft(a, _dft_matrix_np(n1, sign, pre1, False), rdtype, -2)
+    a = _apply_dft(a, _dft_matrix_np(n1, sign, pre1, None), rdtype, -2)
     a = a * _tw_const(_twiddle_np(n1, n2, sign), rdtype)
     if n2 <= config.direct_dft_max:
         # fuse the tail DFT with the output permutation: one einsum emits
@@ -253,7 +262,7 @@ def _fft_last_impl(x, n, sign, rdtype, pre=False, post=False) -> ComplexPair:
         a = carray.swapaxes(a, -1, -2)
     out = carray.reshape(a, shape[:-1] + (n,))
     if post and not post2:
-        out = _roll_last(out, n // 2)
+        out = _roll_last(out, _post_roll_amount(n, post))
     return out
 
 
@@ -305,7 +314,7 @@ def _rfft_packed_last(x, n) -> ComplexPair:
     return carray.concatenate([head, nyq], axis=-1)
 
 
-def _transform_axis(x, axis, sign, pre=False, post=False) -> ComplexPair:
+def _transform_axis(x, axis, sign, pre=False, post=None) -> ComplexPair:
     ndim = x.ndim
     if axis in (-1, ndim - 1):
         return fft_last(x, sign, pre, post)
@@ -314,7 +323,8 @@ def _transform_axis(x, axis, sign, pre=False, post=False) -> ComplexPair:
     return carray.moveaxis(y, -1, axis)
 
 
-def matmul_fft_nd(x, axes, kind: str, pre_shift_axes=(), post_shift_axes=()):
+def matmul_fft_nd(x, axes, kind: str, pre_shift_axes=(), post_shift_axes=(),
+                  post_kind="fftshift"):
     """N-D FFT via per-axis matmul transforms; returns a ComplexPair for
     the complex kinds and a real array for 'irfft'.
 
@@ -329,17 +339,22 @@ def matmul_fft_nd(x, axes, kind: str, pre_shift_axes=(), post_shift_axes=()):
     axes = [a % ndim for a in axes]
     pre_shift_axes = {a % ndim for a in pre_shift_axes}
     post_shift_axes = {a % ndim for a in post_shift_axes}
+
+    def post_of(a):
+        return post_kind if a in post_shift_axes else None
+
     if kind == "fft":
         out = x
         for a in axes:
             out = _transform_axis(out, a, -1, a in pre_shift_axes,
-                                  a in post_shift_axes)
+                                  post_of(a))
         return out
     if kind == "ifft":
         out = x
         scale = 1.0
         for a in axes:
-            out = _transform_axis(out, a, +1)
+            out = _transform_axis(out, a, +1, a in pre_shift_axes,
+                                  post_of(a))
             scale *= x.shape[a]
         return out * (1.0 / scale)
     if kind == "rfft":
@@ -355,10 +370,10 @@ def matmul_fft_nd(x, axes, kind: str, pre_shift_axes=(), post_shift_axes=()):
                 x = _roll_last(x, -(n // 2))
             out = _rfft_packed_last(x, n)
         else:
-            out = fft_last(x, -1, pre_last, False)[..., : n // 2 + 1]
+            out = fft_last(x, -1, pre_last, None)[..., : n // 2 + 1]
         for a in axes[:-1]:
             out = _transform_axis(out, a, -1, a in pre_shift_axes,
-                                  a in post_shift_axes)
+                                  post_of(a))
         return out
     if kind == "irfft":
         if axes[-1] != ndim - 1:

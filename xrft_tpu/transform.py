@@ -29,10 +29,10 @@ __all__ = ["fft", "ifft", "dft", "idft"]
 
 
 def _run_core(data, axes, kind, engine, pre_shift_axes=(),
-              post_shift_axes=()):
+              post_shift_axes=(), post_kind="fftshift"):
     """Run the core N-D transform; `engine` may be an engine name or a
     callable(data, axes, kind) (used by the distributed pencil path).
-    Input-ifftshift / output-fftshift requests are forwarded to the engine
+    Input-ifftshift / output-shift requests are forwarded to the engine
     (the matmul engine absorbs them into its constant matrices — zero
     device cost); callable engines get explicit shifts here."""
     if callable(engine):
@@ -40,12 +40,17 @@ def _run_core(data, axes, kind, engine, pre_shift_axes=(),
             data = fft_core.ifftshift(data, list(pre_shift_axes))
         out = engine(data, axes, kind)
         if post_shift_axes:
-            out = fft_core.fftshift(out, list(post_shift_axes))
+            post_fn = (fft_core.fftshift if post_kind == "fftshift"
+                       else fft_core.ifftshift)
+            out = post_fn(out, list(post_shift_axes))
         return out
     fn = {"fft": fft_core.fftn, "ifft": fft_core.ifftn,
           "rfft": fft_core.rfftn, "irfft": fft_core.irfftn}[kind]
+    kw = {}
+    if kind == "ifft":
+        kw["post_kind"] = post_kind
     return fn(data, axes, engine=engine, pre_shift_axes=pre_shift_axes,
-              post_shift_axes=post_shift_axes)
+              post_shift_axes=post_shift_axes, **kw)
 
 _real_flag_warning = (
     "`real` flag will be deprecated in future version of xrft_tpu.fft and "
@@ -375,15 +380,29 @@ def ifft(
 
     axis_shift = [daft.get_axis_num(d) for d in dim if d != real_dim]
 
-    f = fft_core.ifftshift(daft.data, axes=axis_shift)
-    f = _run_core(f, axis_num, "ifft" if real_dim is None else "irfft",
-                  engine)
+    # output-shift composition: fftshift o ifftshift is the identity, so
+    # only three cases remain; the engine absorbs them into its constants
+    if true_phase and shift:
+        post_axes, post_kind = axis_num, "fftshift"
+    elif (not true_phase) and (not shift):
+        post_axes, post_kind = axis_num, "ifftshift"
+    else:
+        post_axes, post_kind = (), "fftshift"
 
-    if not true_phase:
-        f = fft_core.ifftshift(f, axes=axis_num)
-
-    if shift:
-        f = fft_core.fftshift(f, axes=axis_num)
+    kind = "ifft" if real_dim is None else "irfft"
+    if kind == "irfft":
+        # real-output kind: explicit shifts (the engine absorbs only
+        # complex-output permutations)
+        f = fft_core.ifftshift(daft.data, axes=axis_shift)
+        f = _run_core(f, axis_num, kind, engine)
+        if not true_phase:
+            f = fft_core.ifftshift(f, axes=axis_num)
+        if shift:
+            f = fft_core.fftshift(f, axes=axis_num)
+    else:
+        f = _run_core(daft.data, axis_num, kind, engine,
+                      pre_shift_axes=axis_shift, post_shift_axes=post_axes,
+                      post_kind=post_kind)
 
     k = ce.ifreq_grids(N, delta_x, real_dim is not None, shift)
 
