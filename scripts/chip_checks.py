@@ -51,6 +51,15 @@ def main():
     check("df64 engine fft rel err",
           np.abs(got - ref).max() / np.abs(ref).max(), 1e-10)
 
+    # 2b. int8-limb MXU DFT (Ozaki-style spike)
+    from xrft_tpu.ops.int8_dft import int8_dft_last
+
+    x8 = rng.randn(16, 1024).astype(np.float32)
+    got = df64_to_numpy(jax.jit(lambda a: int8_dft_last(a, -1))(x8))
+    ref = np.fft.fft(x8.astype(np.float64), axis=-1)
+    check("int8-limb MXU DFT rel err",
+          np.abs(got - ref).max() / np.abs(ref).max(), 1e-10)
+
     # 3. fft64 public API: Parseval at 1e-12
     Nx = 512
     dx = 0.37
