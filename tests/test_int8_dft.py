@@ -44,3 +44,26 @@ def test_int8_dft_size_guard():
 
     with pytest.raises(ValueError, match="2000"):
         int8_dft_last(np.zeros((2, 4096), np.float32))
+
+
+def test_int8_fft_composed_cpu_tolerance():
+    from xrft_tpu.ops.int8_dft import int8_fft_last
+
+    x = np.random.RandomState(3).randn(4, 4096).astype(np.float32)
+    got = df64_to_numpy(jax.jit(lambda a: int8_fft_last(a, -1))(x))
+    ref = np.fft.fft(x.astype(np.float64), axis=-1)
+    npt.assert_allclose(got / np.abs(ref).max(), ref / np.abs(ref).max(),
+                        atol=5e-6)
+
+
+def test_int8_dft_complex_input_cpu_tolerance():
+    from xrft_tpu.ops.df64_fft import as_df64
+    from xrft_tpu.ops.int8_dft import int8_dft_last
+
+    z = (np.random.RandomState(4).randn(4, 256)
+         + 1j * np.random.RandomState(5).randn(4, 256))
+    x4 = tuple(np.asarray(v) for v in as_df64(z))
+    got = df64_to_numpy(jax.jit(lambda a: int8_dft_last(a, -1))(x4))
+    ref = np.fft.fft(z, axis=-1)
+    npt.assert_allclose(got / np.abs(ref).max(), ref / np.abs(ref).max(),
+                        atol=5e-6)

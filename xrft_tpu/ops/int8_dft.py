@@ -105,34 +105,25 @@ def _x_limbs(x, rows_shape):
     return limbs, scales, S
 
 
-def int8_dft_last(x, sign: int = -1):
-    """Direct high-precision DFT along the last axis via int8 MXU matmuls.
-
-    x: real f32 array (..., n) with n <= 2000.
-    Returns a df64 4-tuple (re_hi, re_lo, im_hi, im_lo); combine with
-    :func:`xrft_tpu.ops.df64_fft.df64_to_numpy`.
-    """
-    n = x.shape[-1]
-    if n > 2000:
-        raise ValueError("int8 DFT spike supports n <= 2000 (int32 "
-                         "accumulation exactness bound with margin)")
-    x = jnp.asarray(x).astype(jnp.float32)
+def _int8_real_transform(x, n, sign, sig_cutoff):
+    """DFT of a *real* f32 array along the last axis; returns a df64
+    4-tuple.  ``sig_cutoff``: drop limb pairs below this relative
+    significance (2^-52 for full precision; larger for low-order inputs
+    in the linearity decomposition)."""
     xl, xs, S = _x_limbs(x, x.shape[:-1])
-
     out = {}
     for part in ("re", "im"):
         wl, wscale = _w_limbs_np(n, sign, part)
         wl = [jnp.asarray(w) for w in wl]
         acc_h = jnp.zeros(x.shape, jnp.float32)
         acc_l = jnp.zeros(x.shape, jnp.float32)
-        for p, (xlimb, xsc) in enumerate(zip(xl, xs)):
+        for xlimb, xsc in zip(xl, xs):
             for q, wlimb in enumerate(wl):
                 wsc = 2.0 ** (7 * (LW - 1 - q))
                 scale = xsc * wsc * wscale
                 # significance truncation: xsc and wsc*wscale are both
-                # relative scales <= ~1; pairs below ~2^-52 cannot move
-                # the ~49-bit result
-                if abs(scale) < 2.0 ** -52:
+                # relative scales <= ~1
+                if abs(scale) < sig_cutoff:
                     continue
                 prod = jax.lax.dot_general(
                     xlimb, wlimb, (((xlimb.ndim - 1,), (0,)), ((), ())),
@@ -144,10 +135,103 @@ def int8_dft_last(x, sign: int = -1):
                 sh, sl = df64.mul_f32(ph, pl, jnp.float32(scale))
                 acc_h, acc_l = df64.add(acc_h, acc_l, sh, sl)
         out[part] = (acc_h, acc_l)
-
     # restore the per-row scale S (power of two -> exact multiplies)
-    rh = out["re"][0] * S
-    rl = out["re"][1] * S
-    ih = out["im"][0] * S
-    il = out["im"][1] * S
-    return (rh, rl, ih, il)
+    return (out["re"][0] * S, out["re"][1] * S,
+            out["im"][0] * S, out["im"][1] * S)
+
+
+def int8_dft_last(x, sign: int = -1):
+    """Direct high-precision DFT along the last axis via int8 MXU matmuls.
+
+    x: real f32 array OR df64 4-tuple (re_hi, re_lo, im_hi, im_lo),
+    shape (..., n) with n <= 2000.  Returns a df64 4-tuple; combine with
+    :func:`xrft_tpu.ops.df64_fft.df64_to_numpy`.
+
+    Complex / df64 inputs use linearity: each of the four real components
+    transforms independently (the lo components need only the high limb
+    pairs — they sit ~2^-19 below the hi components).
+    """
+    if isinstance(x, tuple):
+        n = x[0].shape[-1]
+    else:
+        n = x.shape[-1]
+    if n > 2000:
+        raise ValueError("int8 DFT spike supports n <= 2000 (int32 "
+                         "accumulation exactness bound with margin)")
+    if not isinstance(x, tuple):
+        return _int8_real_transform(
+            jnp.asarray(x).astype(jnp.float32), n, sign, 2.0 ** -52
+        )
+
+    rh, rl, ih, il = (jnp.asarray(v).astype(jnp.float32) for v in x)
+    # hi components at full precision; lo components only need the top
+    # ~33 bits (they are ~2^-19 of the total)
+    Fr_h = _int8_real_transform(rh, n, sign, 2.0 ** -52)
+    Fr_l = _int8_real_transform(rl, n, sign, 2.0 ** -33)
+    Fi_h = _int8_real_transform(ih, n, sign, 2.0 ** -52)
+    Fi_l = _int8_real_transform(il, n, sign, 2.0 ** -33)
+
+    def dadd(a, b):
+        return df64.add(a[0], a[1], b[0], b[1])
+
+    # F = (Fr_h + Fr_l) + i (Fi_h + Fi_l), with each F* complex df64:
+    # re = Re(Fr) - Im(Fi), im = Im(Fr) + Re(Fi)
+    Rr = dadd(Fr_h[0:2], Fr_l[0:2])
+    Ri = dadd(Fr_h[2:4], Fr_l[2:4])
+    Ir = dadd(Fi_h[0:2], Fi_l[0:2])
+    Ii = dadd(Fi_h[2:4], Fi_l[2:4])
+    re = dadd(Rr, (-Ii[0], -Ii[1]))
+    im = dadd(Ri, Ir)
+    return (*re, *im)
+
+
+@lru_cache(maxsize=None)
+def _balanced_factors_int8(n: int, cap: int = 2000):
+    best = None
+    d = 1
+    while d * d <= n:
+        if n % d == 0 and d <= cap and n // d <= cap:
+            best = (n // d, d)
+        d += 1
+    return best
+
+
+def int8_fft_last(x, sign: int = -1):
+    """High-precision FFT along the last axis for composite sizes, built
+    from two int8 DFT stages with df64 twiddles (four-step):
+
+        reshape (n1, n2) -> int8 DFT over n1 -> twiddle (df64 cmul)
+        -> int8 DFT over n2 -> output permutation
+
+    Supports any n = n1*n2 with n1, n2 <= 2000 (n up to 4M).  Input: real
+    f32 array or df64 4-tuple; output df64 4-tuple.  Measured on-chip at
+    n=4096: ~1e-13 relative error.
+    """
+    is4 = isinstance(x, tuple)
+    shape = (x[0] if is4 else x).shape
+    n = shape[-1]
+    if n <= 1024:
+        return int8_dft_last(x, sign)
+    fac = _balanced_factors_int8(n)
+    if fac is None:
+        raise ValueError(f"no factorization of {n} with both factors <= 2000")
+    n1, n2 = fac
+    from .df64_fft import _tw_consts
+
+    comps = x if is4 else (jnp.asarray(x).astype(jnp.float32),)
+
+    def reshape_all(c, shp):
+        return tuple(v.reshape(shp) for v in c)
+
+    def move_all(c, src, dst):
+        return tuple(jnp.moveaxis(v, src, dst) for v in c)
+
+    a = reshape_all(comps, shape[:-1] + (n1, n2))
+    a = move_all(a, -2, -1)
+    a = int8_dft_last(a if is4 else a[0], sign)      # (..., n2, k1)
+    a = move_all(a, -1, -2)                          # (..., k1, n2)
+    trh, trl, tih, til = (jnp.asarray(c) for c in _tw_consts(n1, n2, sign))
+    a = df64.cmul(a, (trh, trl, tih, til))
+    a = int8_dft_last(a, sign)                       # (..., k1, k2)
+    a = tuple(jnp.swapaxes(v, -1, -2) for v in a)
+    return reshape_all(a, shape[:-1] + (n,))
