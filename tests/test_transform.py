@@ -448,24 +448,62 @@ def test_true_phase_preservation_padding(mode):
 
 
 def test_ifft_chunks_to_segments():
-    """ifft with chunks_to_segments reshapes like the forward path
-    (reference /root/reference/xrft/xrft.py:578-579)."""
+    """ifft with chunks_to_segments actually calls ifft per segment
+    (reference /root/reference/xrft/xrft.py:578-579): each freq-axis chunk
+    becomes an independent inverse transform, compared against a
+    per-segment numpy oracle for both true_phase settings."""
     N, seg = 32, 16
     rng = np.random.RandomState(31)
     spec = rng.randn(N) + 1j * rng.randn(N)
+    # a freq coord that is valid per segment: two concatenated centered
+    # grids (each segment must pass ifft's zero-centering check)
+    f16 = np.fft.fftshift(np.fft.fftfreq(seg, 0.5))
     daft = LabeledArray(spec, dims=["freq_t"],
-                        coords={"freq_t": np.fft.fftshift(
-                            np.fft.fftfreq(N, 0.5))}).chunk({"freq_t": seg})
-    # note: segments of a shifted freq grid are not zero-centered; use the
-    # unshifted halves semantics by segmenting a plain index grid instead
-    daft = LabeledArray(spec, dims=["t"],
-                        coords={"t": np.arange(N, dtype=float)}
-                        ).chunk({"t": seg})
-    out = fft(daft, dim=["t"], chunks_to_segments=True, true_phase=False,
-              true_amplitude=False, shift=False)
-    assert out.dims == ("t_segment", "freq_t")
-    ref = np.fft.fft(spec.reshape(2, seg), axis=-1)
+                        coords={"freq_t": np.tile(f16, 2)}
+                        ).chunk({"freq_t": seg})
+
+    out = ifft(daft, dim=["freq_t"], chunks_to_segments=True,
+               true_phase=True, lag=[0.0], true_amplitude=False, shift=False)
+    assert out.dims == ("freq_t_segment", "t")
+    ref = np.fft.ifft(np.fft.ifftshift(spec.reshape(2, seg), axes=-1), axis=-1)
     npt.assert_allclose(out.values, ref, atol=1e-11)
+
+    out2 = ifft(daft, dim=["freq_t"], chunks_to_segments=True,
+                true_phase=False, true_amplitude=False, shift=False)
+    npt.assert_allclose(out2.values, np.fft.ifftshift(ref, axes=-1),
+                        atol=1e-11)
+
+    # the phase premultiply (a _binary op) must not discard the declared
+    # chunks: nonzero lag exercises daft * exp(2i pi f lag) before the
+    # segment reshape
+    out3 = ifft(daft, dim=["freq_t"], chunks_to_segments=True,
+                true_phase=True, lag=[3.0], true_amplitude=False,
+                shift=False)
+    pre = spec * np.exp(2j * np.pi * np.tile(f16, 2) * 3.0)
+    ref3 = np.fft.ifft(np.fft.ifftshift(pre.reshape(2, seg), axes=-1),
+                       axis=-1)
+    npt.assert_allclose(out3.values, ref3, atol=1e-11)
+
+
+def test_fft_segments_unchunked_dim_is_one_segment():
+    """A transform dim with no declared chunk length is a single
+    full-length segment, matching dask semantics (an unchunked dask dim
+    has one chunk spanning the axis; reference
+    /root/reference/xrft/xrft.py:115-119)."""
+    rng = np.random.RandomState(7)
+    da = LabeledArray(rng.randn(8, 12), dims=["x", "y"],
+                      coords={"x": np.arange(8.0), "y": np.arange(12.0)}
+                      ).chunk({"x": 4})
+    out = fft(da, dim=["x", "y"], chunks_to_segments=True, shift=False,
+              true_phase=False, true_amplitude=False)
+    assert out.dims == ("x_segment", "freq_x", "y_segment", "freq_y")
+    ref = np.fft.fftn(da.values.reshape(2, 4, 1, 12), axes=(1, 3))
+    npt.assert_allclose(out.values, ref, atol=1e-11)
+    # but with no chunks declared at all it still raises
+    da2 = LabeledArray(rng.randn(8), dims=["x"],
+                       coords={"x": np.arange(8.0)})
+    with pytest.raises(ValueError, match="chunk"):
+        fft(da2, dim=["x"], chunks_to_segments=True)
 
 
 def test_pad_stat_kwargs():

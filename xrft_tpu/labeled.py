@@ -581,7 +581,14 @@ class LabeledArray:
             out = LabeledArray.__new__(LabeledArray)
             out.data = data
             out.dims = tuple(out_dims)
-            out.attrs = {}
+            # user attrs drop (xarray keep_attrs=False parity) but declared
+            # chunk lengths are structural, like dask chunks surviving
+            # arithmetic (reference ifft multiplies the phase factor *before*
+            # _stack_chunks, /root/reference/xrft/xrft.py:574-579)
+            chunks = dict(other.attrs.get("_chunks") or {})
+            chunks.update(self.attrs.get("_chunks") or {})
+            chunks = {d: c for d, c in chunks.items() if d in out_dims}
+            out.attrs = {"_chunks": chunks} if chunks else {}
             out.name = None
             coords = {k: c.copy() for k, c in self.coords.items()}
             for k, c in other.coords.items():
@@ -599,7 +606,8 @@ class LabeledArray:
             b = carray.as_pair(b) if carray.is_pair(a) else b
         data = op(b, a) if reflexive else op(a, b)
         out = self.copy(data=data)
-        out.attrs = {}
+        chunks = self.attrs.get("_chunks")
+        out.attrs = {"_chunks": dict(chunks)} if chunks else {}
         return out
 
     def __add__(self, o):

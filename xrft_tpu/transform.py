@@ -102,16 +102,20 @@ def _stack_segments(da: LabeledArray, dim, suffix="_segment") -> LabeledArray:
     analogue of the reference's dask-chunk reshape ``_stack_chunks``,
     ``/root/reference/xrft/xrft.py:106-136``)."""
     chunks = getattr(da, "_chunks", None) or da.attrs.get("_chunks")
+    if chunks is None:
+        raise ValueError(
+            "chunks_to_segments=True requires declared chunks: call "
+            "da.chunk({dim: seglen}) first."
+        )
     newdims, newshape, newcoords = [], [], {}
     for d in da.dims:
         n = da.sizes[d]
         if d in dim:
-            chunklen = (chunks or {}).get(d)
-            if chunklen is None:
-                raise ValueError(
-                    f"chunks_to_segments=True requires a chunk length for "
-                    f"dim {d!r}: call da.chunk({{{d!r}: seglen}}) first."
-                )
+            # a transform dim with no declared chunk length is one
+            # full-length chunk = a single segment, matching the
+            # reference's dask semantics (an unchunked dask dim has one
+            # chunk spanning the axis, /root/reference/xrft/xrft.py:115-119)
+            chunklen = chunks.get(d, n)
             if n % chunklen != 0:
                 raise ValueError("Chunk lengths need to be the same.")
             nseg = n // chunklen
