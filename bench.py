@@ -7,14 +7,52 @@ driver).  The reference publishes no timings (BASELINE.md), so
 ``vs_baseline`` is the speedup over the same computation executed by the
 numpy/pocketfft stack the reference delegates to, measured on this host.
 
+Timing methodology: the axon-tunnelled runtime has ~25-30 ms of fixed
+per-call RPC overhead and ``block_until_ready`` does not reliably block,
+so the per-iteration device time is measured by differencing two chained
+on-device loops, (t[k=K] - t[k=1]) / (K - 1), each forced by a scalar
+transfer.  Iterations are serially data-dependent (the input is perturbed
+by a tiny function of the previous output) so XLA cannot CSE them away.
+
+The measured-roofline figure uses XLA's own cost analysis of the compiled
+program (`bytes accessed`) against the v5e HBM spec (819 GB/s) — i.e. how
+close the wall clock is to the bandwidth bound of the traffic the program
+actually issues — plus the estimated minimum-traffic roofline from round 1
+for continuity.
+
 Prints exactly one JSON line:
-  {"metric": ..., "value": <ms>, "unit": "ms", "vs_baseline": <speedup>}
+  {"metric": ..., "value": <ms/iter>, "unit": "ms", "vs_baseline": <x>, ...}
 """
 
 import json
 import time
 
 import numpy as np
+
+
+def _pipeline_loop(da, iters):
+    import jax
+    import jax.numpy as jnp
+
+    import xrft_tpu
+
+    def one(d):
+        return jnp.sum(xrft_tpu.power_spectrum(
+            d, dim=["y", "x"], window="hann", detrend="linear"
+        ).data)
+
+    def body(_, carry):
+        s, x = carry
+        s2 = one(da.copy(data=x))
+        # serial dependency: perturb the input by ~1e-38*s2 (never CSEd,
+        # numerically invisible)
+        return s + s2, x + s2 * 1e-38
+
+    def run(x):
+        s, _ = jax.lax.fori_loop(0, iters, body, (jnp.float32(0.0), x))
+        return s
+
+    return jax.jit(run)
 
 
 def main():
@@ -32,24 +70,26 @@ def main():
         dims=("time", "y", "x"),
         coords={"y": np.arange(N) * 0.5, "x": np.arange(N) * 0.5},
     )
+    x0 = da.data  # device-resident
 
-    def pipeline(d):
-        # reduce to a scalar on device: the float() transfer below forces
-        # full execution (on the tunnelled runtime, block_until_ready does
-        # not reliably block — see .claude/skills/verify/SKILL.md)
-        return jax.numpy.sum(xrft_tpu.power_spectrum(
-            d, dim=["y", "x"], window="hann", detrend="linear"
-        ).data)
+    K = 9
+    f1 = _pipeline_loop(da, 1)
+    fk = _pipeline_loop(da, K)
+    float(f1(x0))  # compile
+    float(fk(x0))
 
-    fn = jax.jit(pipeline)
-    float(fn(da))  # warmup/compile
+    def best_of(f, n=3):
+        ts = []
+        for _ in range(n):
+            t0 = time.perf_counter()
+            float(f(x0))  # scalar transfer forces full execution
+            ts.append(time.perf_counter() - t0)
+        return min(ts) * 1e3
 
-    iters = 3
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        float(fn(da))
-    t1 = time.perf_counter()
-    tpu_ms = (t1 - t0) / iters * 1e3
+    t1 = best_of(f1)
+    tk = best_of(fk)
+    device_ms = max((tk - t1) / (K - 1), 1e-3)
+    call_ms = t1
 
     # numpy/pocketfft baseline: same math, one 4096^2 slice, scaled to B;
     # min of 3 runs to suppress host-load noise
@@ -72,19 +112,44 @@ def main():
         best = min(best, time.perf_counter() - t2)
     np_ms = best * 1e3 * B
 
-    # HBM roofline estimate: minimal traffic for the fused pipeline
-    # (read input once, write |F|^2 once, plus 2 r/w complex passes per FFT
-    # axis for the four-step factorization), v5e HBM BW ~819 GB/s
+    # measured roofline: bytes the compiled program actually accesses (XLA
+    # cost analysis) vs the v5e HBM spec
+    def one_fn(d):
+        return xrft_tpu.power_spectrum(
+            d, dim=["y", "x"], window="hann", detrend="linear").data
+
+    bytes_accessed = None
+    try:
+        c = jax.jit(one_fn).lower(da).compile()
+        ca = c.cost_analysis()
+        ca = ca[0] if isinstance(ca, list) else ca
+        bytes_accessed = float(ca.get("bytes accessed", 0.0))
+    except Exception:
+        pass
+
+    # minimum-traffic estimate (round-1 model, for continuity): read input,
+    # write |F|^2, 2 r/w split-complex passes per FFT axis
     elems = B * N * N
-    bytes_moved = elems * (4 + 4 + 2 * 2 * 2 * 8)
-    roofline_ms = bytes_moved / 819e9 * 1e3
+    bytes_min = elems * (4 + 4 + 2 * 2 * 2 * 8)
+    roofline_est_ms = bytes_min / 819e9 * 1e3
+
+    extras = {
+        "call_ms": round(call_ms, 2),
+        "roofline_min_traffic_pct": round(100 * roofline_est_ms / device_ms, 1),
+    }
+    if bytes_accessed:
+        bw_ms = bytes_accessed / 819e9 * 1e3
+        extras["bytes_accessed_gb"] = round(bytes_accessed / 1e9, 2)
+        extras["roofline_measured_pct"] = round(100 * bw_ms / device_ms, 1)
 
     print(json.dumps({
         "metric": f"windowed+detrended power_spectrum {B}x{N}x{N} f32, "
-                  f"end-to-end jit (roofline est {roofline_ms:.0f} ms)",
-        "value": round(tpu_ms, 2),
+                  f"end-to-end jit, per-iteration device time "
+                  f"(min-traffic roofline {roofline_est_ms:.0f} ms)",
+        "value": round(device_ms, 2),
         "unit": "ms",
-        "vs_baseline": round(np_ms / tpu_ms, 2),
+        "vs_baseline": round(np_ms / device_ms, 2),
+        **extras,
     }))
 
 

@@ -45,6 +45,12 @@ class _Config:
     # ~f32 accuracy), "high" (3-pass), or "default" (fastest, lowest
     # accuracy).  f64 inputs always use exact f64 arithmetic (CPU).
     matmul_precision: str = "highest"
+    # Stacked-complex pad-free engine (ops/stacked_fft.py): "auto" uses it
+    # for every forward fft/rfft/ifft whose axis sizes factor into radices
+    # <= direct_dft_max (measured ~2.5-4x faster than the pair engine on
+    # the v5e: single dot_general per four-step stage, folded twiddles,
+    # no tiny minor dims); "never" forces the round-1 pair engine.
+    stacked_fft: str = "auto"
     # Fused Pallas four-step FFT kernel: "never" (default — the Mosaic
     # build in this toolchain rejects the kernel's lane-splitting reshapes
     # with "infer-vector-layout: unsupported shape cast"), "auto" (TPU,

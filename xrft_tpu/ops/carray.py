@@ -284,6 +284,10 @@ def take(x, indices, axis):
     return _map(x, lambda v: jnp.take(v, indices, axis=axis))
 
 
+def roll(x, shift, axis):
+    return _map(x, lambda v: jnp.roll(v, shift, axis=axis))
+
+
 def getitem(x, key):
     return _map(x, lambda v: v[key])
 

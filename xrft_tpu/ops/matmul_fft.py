@@ -340,6 +340,13 @@ def matmul_fft_nd(x, axes, kind: str, pre_shift_axes=(), post_shift_axes=(),
     pre_shift_axes = {a % ndim for a in pre_shift_axes}
     post_shift_axes = {a % ndim for a in post_shift_axes}
 
+    from . import stacked_fft
+
+    if axes and stacked_fft.stacked_supported(
+            x, axes, kind, pre_shift_axes, post_shift_axes):
+        return stacked_fft.fft_nd_stacked(
+            x, axes, kind, pre_shift_axes, post_shift_axes, post_kind)
+
     def post_of(a):
         return post_kind if a in post_shift_axes else None
 

@@ -1,0 +1,506 @@
+"""Stacked-complex pad-free MXU FFT engine (round-2 redesign).
+
+The round-1 engine (:mod:`.matmul_fft`) carries complex data as a
+``ComplexPair`` of separate (re, im) arrays, so every complex DFT step is
+4 real matmuls plus elementwise combines — each materializing full-size
+intermediates.  Measured on the v5e, that put the 8x4096x4096 windowed-PSD
+pipeline at ~12 GB of HBM traffic per transform axis (XLA cost analysis),
+~3x the information-theoretic minimum.
+
+This engine reformulates every complex DFT stage as ONE ``lax.dot_general``
+over a *stacked* representation (re/im as a length-2 axis of a single
+array), contracting ``(c, j)`` with a host-built block weight
+``W[c_in, j, c_out, k] = [[Re W, Im W], [-Im W, Re W]]``:
+
+    out[c'] = re @ Re(W) - im @ Im(W)   /   re @ Im(W) + im @ Re(W)
+
+Two TPU-specific rules shape the schedule (both verified empirically via
+``compiled.cost_analysis()`` + wall clock; see scripts/perf_stacked.py):
+
+1. **No tiny minor dims.**  XLA:TPU tiles the two physically-minor array
+   dims to (8, 128); a trailing ``(2, K)`` stacked-complex axis pads up to
+   8-16x HBM traffic.  Therefore non-final dots put the constant weight on
+   the *LHS* of ``dot_general`` (output = (2, k1, <big free dims>), the
+   small dims become major), the final dot merges its output complex planes
+   into one ``2*K >= 128`` trailing dim, and radix plans put the largest
+   factor (ideally 128) last.
+2. **Fold twiddles into the next dot.**  The four-step twiddle
+   ``T[k1, m]`` is folded into the following level's weight, batched over
+   the ``k1`` digit (dot_general batch dims), eliminating a full
+   elementwise memory pass per axis.
+
+Outputs of each level's dot keep the emitted frequency digit wherever the
+dot semantics place it ("deferred interleave"); a single epilogue
+transpose+reshape pass restores standard order for all axes at once and
+also absorbs fftshift/ifftshift permutations (rolled into the constant
+weights' rows/columns where digit parity allows).
+
+Supported here: forward ``fft``/``rfft`` (real trailing axis, with the
+Hermitian half-spectrum *pruned at the weight level* — only
+``r_last//2 + 1`` of the last digit's columns are ever computed) and
+``ifft``, for any axis set whose sizes factor into radices
+``<= config.direct_dft_max``.  Everything else (Bluestein primes, irfft,
+native-complex CPU mode) falls back to the pair engine in
+:mod:`.matmul_fft`, which remains the reference implementation this one is
+cross-validated against (tests/test_stacked_fft.py, 1e-11 in f64).
+
+Replaces what numpy/pocketfft provides to the reference library
+(dispatch: ``/root/reference/xrft/xrft.py:32-36``).
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from ..config import config
+from . import carray
+from .carray import ComplexPair, as_pair, is_pair
+from .matmul_fft import _dft_matrix_np, _twiddle_np, _PRECISIONS
+
+__all__ = ["stacked_supported", "fft_nd_stacked"]
+
+
+def _precision():
+    return _PRECISIONS[config.matmul_precision]
+
+
+# --------------------------------------------------------------------------
+# Radix planning
+# --------------------------------------------------------------------------
+
+
+@lru_cache(maxsize=None)
+def _largest_divisor(n: int, cap: int) -> int:
+    best = 1
+    d = 1
+    while d * d <= n:
+        if n % d == 0:
+            if d <= cap and d > best:
+                best = d
+            q = n // d
+            if q <= cap and q > best:
+                best = q
+        d += 1
+    return best
+
+
+@lru_cache(maxsize=None)
+def plan(n: int, cap: int) -> tuple[int, ...] | None:
+    """Radix plan [r0, ..., r_last]: r0 is contracted first (the major
+    input digit, emitting the least-significant output digit); r_last is
+    chosen as large as possible (trailing-dim tiling wants >= 128)."""
+    if n <= 1:
+        return None  # nothing to gain; let the fallback handle n==1
+    if n <= cap:
+        return (n,)
+    radices = []
+    rem = n
+    while rem > cap:
+        r = _largest_divisor(rem, cap)
+        if r == 1:
+            return None  # prime factor > cap: Bluestein fallback
+        radices.append(r)
+        rem //= r
+    radices.append(rem)
+    # contraction order: big radix last
+    return tuple(sorted(radices))
+
+
+def _shifts_absorbable(n: int, F: tuple[int, ...], pre: bool,
+                       post: bool) -> bool:
+    if len(F) == 1:
+        return True  # full row/col permutations on the direct matrix
+    if pre and F[0] % 2 != 0:
+        return False
+    if post and F[-1] % 2 != 0:
+        return False
+    return True
+
+
+def stacked_supported(x, axes, kind, pre_axes, post_axes) -> bool:
+    """True when this engine can run the request (else: pair engine)."""
+    if config.stacked_fft == "never":
+        return False
+    if kind not in ("fft", "ifft", "rfft"):
+        return False
+    shape = x.re.shape if is_pair(x) else x.shape
+    if kind == "rfft" and (is_pair(x) or np.dtype(x.dtype).kind == "c"):
+        return False  # complex rfft input: pair engine full-fft+slice path
+    cap = config.direct_dft_max
+    for a in axes:
+        F = plan(shape[a], cap)
+        if F is None:
+            return False
+        if not _shifts_absorbable(shape[a], F, a in pre_axes, a in post_axes):
+            return False
+    return True
+
+
+# --------------------------------------------------------------------------
+# Host-side stacked weight factories (f64 trig; see matmul_fft constants)
+# --------------------------------------------------------------------------
+
+
+def _w_complex_np(r: int, sign: int, pre_roll: int = 0, post_roll: int = 0,
+                  kcols: int | None = None, pre_perm: bool = False,
+                  post_perm: str | None = None,
+                  scale: float = 1.0) -> np.ndarray:
+    """Dense complex DFT_r with optional absorbed shifts.
+
+    pre_roll:  rows rolled by +h (absorbs input ifftshift: the digit map
+               (i - h) mod r, W' = np.roll(W, h, axis=0)).
+    post_roll: columns rolled by +h (absorbs output fftshift on this
+               axis's most-significant digit).
+    pre_perm/post_perm: full single-level permutations (direct case, any
+               parity): ifftshift input / fft-/ifftshift output.
+    """
+    w = _dft_matrix_np(r, sign).copy()
+    if pre_perm:
+        # y[j] = x[(j + r//2) mod r]  ->  W'[i] = W[(i - r//2) mod r]
+        w = np.roll(w, r // 2, axis=0)
+    elif pre_roll:
+        w = np.roll(w, pre_roll, axis=0)
+    if post_perm == "fftshift":
+        w = np.roll(w, r // 2, axis=1)
+    elif post_perm == "ifftshift":
+        w = np.roll(w, -(r // 2), axis=1)
+    elif post_roll:
+        w = np.roll(w, post_roll, axis=1)
+    if kcols is not None:
+        w = w[:, :kcols]
+    if scale != 1.0:
+        w = w * scale
+    return w
+
+
+def _stack_lhs(wc: np.ndarray, real_in: bool, rdt) -> np.ndarray:
+    """Weight for W-LHS dots: (2, k, [ci,] j) — output prepends (2, k)."""
+    wr = wc.real.astype(rdt).T  # (k, j)
+    wi = wc.imag.astype(rdt).T
+    if real_in:
+        return np.stack([wr, wi], axis=0)  # (2, k, j)
+    out = np.empty((2,) + wr.shape[:1] + (2,) + wr.shape[1:], rdt)
+    out[0, :, 0, :] = wr   # re @ Re
+    out[0, :, 1, :] = -wi  # im @ -Im
+    out[1, :, 0, :] = wi
+    out[1, :, 1, :] = wr
+    return out  # (co, k, ci, j)
+
+
+def _batched_lhs(tw: np.ndarray, wc: np.ndarray, rdt) -> np.ndarray:
+    """Final-level W-LHS with folded twiddle: (kb, co, K, ci, m)."""
+    wfull = tw[:, :, None] * wc[None, :, :]  # (kb, m, K)
+    kb, m, K = wfull.shape
+    out = np.empty((kb, 2, K, 2, m), rdt)
+    wr = np.swapaxes(wfull.real, 1, 2).astype(rdt)  # (kb, K, m)
+    wi = np.swapaxes(wfull.imag, 1, 2).astype(rdt)
+    out[:, 0, :, 0, :] = wr
+    out[:, 0, :, 1, :] = -wi
+    out[:, 1, :, 0, :] = wi
+    out[:, 1, :, 1, :] = wr
+    return out
+
+
+def _merged_rhs(wc: np.ndarray, rdt, tw: np.ndarray | None,
+                real_in: bool) -> np.ndarray:
+    """Final-dot W-RHS with c-major-merged output columns.
+
+    With twiddle: (kb, ci, m, 2K); without (single-level final axis):
+    (ci, m, 2K) or (m, 2K) for real input."""
+    if tw is not None:
+        wfull = tw[:, :, None] * wc[None, :, :]  # (kb, m, K)
+        kb, m, K = wfull.shape
+        out = np.empty((kb, 2, m, 2 * K), rdt)
+        out[:, 0, :, :K] = wfull.real
+        out[:, 1, :, :K] = -wfull.imag
+        out[:, 0, :, K:] = wfull.imag
+        out[:, 1, :, K:] = wfull.real
+        return out
+    m, K = wc.shape
+    if real_in:
+        out = np.empty((m, 2 * K), rdt)
+        out[:, :K] = wc.real
+        out[:, K:] = wc.imag
+        return out
+    out = np.empty((2, m, 2 * K), rdt)
+    out[0, :, :K] = wc.real
+    out[1, :, :K] = -wc.imag
+    out[0, :, K:] = wc.imag
+    out[1, :, K:] = wc.real
+    return out
+
+
+# --------------------------------------------------------------------------
+# Driver
+# --------------------------------------------------------------------------
+
+# dims-slot tokens
+_C = ("c",)                      # stacked complex plane axis (size 2)
+
+
+def _orig(i):
+    return ("orig", i)
+
+
+def _dig(ax, lvl):
+    return ("dig", ax, lvl)
+
+
+def _rem(ax):
+    return ("rem", ax)
+
+
+def _ck(ax, lvl):
+    return ("ck", ax, lvl)       # merged (c, K) final axis
+
+
+def fft_nd_stacked(x, axes, kind: str, pre_shift_axes=(), post_shift_axes=(),
+                   post_kind: str = "fftshift") -> ComplexPair:
+    """N-D forward/inverse FFT via the stacked-complex pad-free schedule.
+
+    Caller contract matches :func:`matmul_fft.matmul_fft_nd` for the
+    supported kinds; call :func:`stacked_supported` first.
+    """
+    if not is_pair(x) and not isinstance(x, jax.Array):
+        xx = np.asarray(x)
+        x = as_pair(xx) if xx.dtype.kind == "c" else jnp.asarray(xx)
+    if not is_pair(x) and np.dtype(x.dtype).kind == "c":
+        x = as_pair(x)
+
+    if is_pair(x):
+        rdtype = np.dtype(x.re.dtype)
+        a = jnp.stack([x.re, x.im], axis=0)       # c leading
+        has_c = True
+        ndim = x.re.ndim
+    else:
+        rdtype = np.dtype(x.dtype)
+        if rdtype == np.dtype(np.float64) or rdtype == np.dtype(np.float32):
+            pass
+        else:
+            x = x.astype(np.float32)
+            rdtype = np.dtype(np.float32)
+        a = x
+        has_c = False
+        ndim = x.ndim
+
+    prec = _precision()
+    cap = config.direct_dft_max
+    sign = -1 if kind in ("fft", "rfft") else +1
+    axes = [ax % ndim for ax in axes]
+    pre_set = {ax % ndim for ax in pre_shift_axes}
+    post_set = {ax % ndim for ax in post_shift_axes}
+    in_shape = x.re.shape if is_pair(x) else x.shape
+
+    # inverse normalization: fold 1/N into the very last dot's weight
+    scale = 1.0
+    if kind == "ifft":
+        for ax in axes:
+            scale /= in_shape[ax]
+
+    # rfft: the real (trailing) axis first, pruned; others after
+    if kind == "rfft":
+        assert axes[-1] == ndim - 1
+        order = [axes[-1]] + list(axes[:-1])
+        prune_axis = axes[-1]
+        assert prune_axis not in post_set
+    else:
+        order = list(axes)
+        prune_axis = None
+
+    dims: list = ([_C] if has_c else []) + [_orig(i) for i in range(ndim)]
+
+    def pos(tok):
+        return dims.index(tok)
+
+    total_dots = sum(len(plan(in_shape[ax], cap)) for ax in order)
+    dot_i = 0
+
+    for ax in order:
+        n = in_shape[ax]
+        F = plan(n, cap)
+        L = len(F)
+        pre = ax in pre_set
+        post = ax in post_set
+        rem_size = n
+        # rename the original slot to this axis's remaining block
+        dims[pos(_orig(ax))] = _rem(ax)
+
+        prev_dig = None  # digit token batching the next (final) dot
+        pending_tw = None  # (r_prev, rem) twiddle deferred into final dot
+
+        for lvl, r in enumerate(F):
+            dot_i += 1
+            final_axis_dot = lvl == L - 1
+            final_overall = dot_i == total_dots
+            p = pos(_rem(ax))
+
+            if not final_axis_dot:
+                # split remaining block: (r major, rem_size//r)
+                s = rem_size // r
+                new_shape = (a.shape[:p] + (r, s) + a.shape[p + 1:])
+                a = a.reshape(new_shape)
+                dims[p:p + 1] = [("j", ax, lvl), _rem(ax)]
+                jp = p
+                # weight: DFT_r, pre-roll on the first level only
+                pre_roll = (r // 2) if (pre and lvl == 0 and L > 1) else 0
+                wc = _w_complex_np(r, sign, pre_roll=pre_roll)
+                wl = _stack_lhs(wc, real_in=not has_c, rdt=rdtype)
+                wj = jnp.asarray(wl)
+                if has_c:
+                    cp = pos(_C)
+                    # W (co, k, ci, j) x a: contract (ci, j)
+                    a = lax.dot_general(
+                        wj, a, (((2, 3), (cp, jp)), ((), ())),
+                        precision=prec)
+                    rest = [d for q, d in enumerate(dims)
+                            if q not in (cp, jp)]
+                else:
+                    # W (2, k, j) x a: contract (j)
+                    a = lax.dot_general(
+                        wj, a, (((2,), (jp,)), ((), ())), precision=prec)
+                    rest = [d for q, d in enumerate(dims) if q != jp]
+                    has_c = True
+                dims = [_C, _dig(ax, lvl)] + rest
+                rem_size = s
+                # twiddle between this level and the rest of the axis
+                if lvl == L - 2:
+                    pending_tw = _twiddle_np(r, s, sign)
+                    prev_dig = _dig(ax, lvl)
+                else:
+                    # explicit twiddle pass (3+ level plans only)
+                    tw = _twiddle_np(r, s, sign)
+                    a = _twiddle_mul(a, tw, dims, ax, lvl, rdtype)
+            else:
+                # final level of this axis: contract the whole remaining
+                # block (size r == rem_size), twiddle folded via batching
+                # over the previous digit when L >= 2
+                assert rem_size == r
+                kcols = None
+                if ax == prune_axis:
+                    kcols = r // 2 + 1
+                post_perm = None
+                post_roll = 0
+                if post:
+                    if L == 1:
+                        post_perm = post_kind
+                    else:
+                        post_roll = (r // 2) if post_kind == "fftshift" \
+                            else -(r // 2)
+                pre_perm = pre and L == 1
+                wsc = scale if final_overall else 1.0
+                wc = _w_complex_np(r, sign, post_roll=post_roll,
+                                   kcols=kcols, pre_perm=pre_perm,
+                                   post_perm=post_perm, scale=wsc)
+                K = wc.shape[1]
+                if final_overall:
+                    # W-RHS, merged (2K) trailing output dim
+                    wm = jnp.asarray(_merged_rhs(
+                        wc, rdtype, pending_tw, real_in=not has_c))
+                    if pending_tw is not None:
+                        bq = pos(prev_dig)
+                        cp = pos(_C)
+                        a = lax.dot_general(
+                            a, wm, (((cp, p), (1, 2)), ((bq,), (0,))),
+                            precision=prec)
+                        rest = [d for q, d in enumerate(dims)
+                                if q not in (bq, cp, p)]
+                        dims = [prev_dig] + rest + [_ck(ax, lvl)]
+                    elif has_c:
+                        cp = pos(_C)
+                        a = lax.dot_general(
+                            a, wm, (((cp, p), (0, 1)), ((), ())),
+                            precision=prec)
+                        rest = [d for q, d in enumerate(dims)
+                                if q not in (cp, p)]
+                        dims = rest + [_ck(ax, lvl)]
+                    else:
+                        a = lax.dot_general(
+                            a, wm, (((p,), (0,)), ((), ())), precision=prec)
+                        rest = [d for q, d in enumerate(dims) if q != p]
+                        dims = rest + [_ck(ax, lvl)]
+                        has_c = True
+                    merged_K = K
+                else:
+                    # W-LHS (batched when twiddle folded)
+                    if pending_tw is not None:
+                        wj = jnp.asarray(_batched_lhs(
+                            pending_tw, wc, rdtype))  # (kb, co, K, ci, m)
+                        bq = pos(prev_dig)
+                        cp = pos(_C)
+                        a = lax.dot_general(
+                            wj, a, (((3, 4), (cp, p)), ((0,), (bq,))),
+                            precision=prec)
+                        rest = [d for q, d in enumerate(dims)
+                                if q not in (bq, cp, p)]
+                        dims = [prev_dig, _C, _dig(ax, lvl)] + rest
+                    else:
+                        wl = _stack_lhs(wc, real_in=not has_c, rdt=rdtype)
+                        wj = jnp.asarray(wl)
+                        if has_c:
+                            cp = pos(_C)
+                            a = lax.dot_general(
+                                wj, a, (((2, 3), (cp, p)), ((), ())),
+                                precision=prec)
+                            rest = [d for q, d in enumerate(dims)
+                                    if q not in (cp, p)]
+                        else:
+                            a = lax.dot_general(
+                                wj, a, (((2,), (p,)), ((), ())),
+                                precision=prec)
+                            rest = [d for q, d in enumerate(dims) if q != p]
+                            has_c = True
+                        dims = [_C, _dig(ax, lvl)] + rest
+                pending_tw = None
+                prev_dig = None
+
+    # ------------------------------------------------------------ epilogue
+    # split the merged (2K) axis, transpose everything to standard order,
+    # flatten digits, slice the pruned axis — one fused copy pass
+    mp = dims.index(_ck(order[-1], len(plan(in_shape[order[-1]], cap)) - 1))
+    K = a.shape[mp] // 2
+    a = a.reshape(a.shape[:mp] + (2, K) + a.shape[mp + 1:])
+    ck_tok = dims[mp]
+    dims[mp:mp + 1] = [_C, _dig(ck_tok[1], ck_tok[2])]
+
+    perm = [pos(_C)]
+    out_axes_shapes = []
+    for i in range(ndim):
+        if i in order:
+            F = plan(in_shape[i], cap)
+            digs = [pos(_dig(i, lvl)) for lvl in reversed(range(len(F)))]
+            perm.extend(digs)
+            out_axes_shapes.append(int(np.prod([a.shape[q] for q in digs])))
+        else:
+            perm.append(pos(_orig(i)))
+            out_axes_shapes.append(a.shape[pos(_orig(i))])
+    a = jnp.transpose(a, perm)
+    a = a.reshape((2,) + tuple(out_axes_shapes))
+
+    if prune_axis is not None:
+        n = in_shape[prune_axis]
+        want = n // 2 + 1
+        idx = [slice(None)] * a.ndim
+        idx[1 + prune_axis] = slice(0, want)
+        a = a[tuple(idx)]
+
+    return ComplexPair(a[0], a[1])
+
+
+def _twiddle_mul(a, tw: np.ndarray, dims: list, ax, lvl, rdtype):
+    """Explicit twiddle pass for 3+-level plans: a has c at dims[0] and the
+    just-emitted digit at dims[1]; tw is (k_lvl, m_rem)."""
+    kp = dims.index(_dig(ax, lvl))
+    mp = dims.index(_rem(ax))
+    assert dims[0] == _C and kp == 1
+    shape = [1] * (a.ndim - 1)  # without the c axis
+    shape[kp - 1] = tw.shape[0]
+    shape[mp - 1] = tw.shape[1]
+    twr = jnp.asarray(tw.real.astype(rdtype).reshape(shape))
+    twi = jnp.asarray(tw.imag.astype(rdtype).reshape(shape))
+    re, im = a[0], a[1]
+    return jnp.stack([re * twr - im * twi, re * twi + im * twr], axis=0)

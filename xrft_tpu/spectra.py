@@ -105,46 +105,84 @@ def _norm_dim_list(da, dim):
     return list(dim)
 
 
-def _power_spectrum_via_rfft(da, dim, half_dim, kwargs):
+def _power_spectrum_via_rfft(da, dim, half_dim, kwargs, prescale=None):
     """|F|^2 on the full grid, computed from the one-sided transform of
     real input and mirrored via Hermitian symmetry:
 
         |F[k_o, k]|^2 == |F[-k_o mod n_o, n - k]|^2
 
-    so the two-sided PSD is the half PSD concatenated with its tail
-    index-reversed along *all* transform axes.  Saves ~half the transform
-    work on every non-half axis plus half the |.|^2 pass.
+    Saves ~half the transform work on every non-half axis plus half the
+    |.|^2 pass.  The requested fftshift on the non-half axes rides the
+    engine's absorbed output permutation (free); the half-axis expansion +
+    its shift is one static-gather concat, with all mirror/shift index
+    maps computed on host.  ``prescale`` (density/window-correction
+    scalars) folds into the |.|^2 pass instead of a full multiply pass.
     """
     dims = _norm_dim_list(da, dim)
     shift = kwargs.pop("shift", True)
     n_full = da.sizes[half_dim]
-    daft = fft(da, dim=dims, real_dim=half_dim, shift=False, **kwargs)
+    # true_amplitude's prod(dx) multiply also folds into the |.|^2 pass
+    # (|amp*F|^2 = amp^2 |F|^2) instead of costing a full memory pass
+    kwargs["true_amplitude"] = False
+    amp2 = float(np.prod([
+        ce.get_coordinate_spacing(_dim_coord(da, d),
+                                  kwargs.get("spacing_tol", 1e-3))
+        for d in dims])) ** 2
+    daft = fft(da, dim=dims, real_dim=half_dim, shift=shift,
+               _shift_nonreal=True, **kwargs)
     ps_half = carray.abs2(daft.data)
+    ps_half = ps_half * (amp2 if prescale is None else amp2 * prescale)
 
     fd = {d: ce.freq_dim_name(d, kwargs.get("prefix", "freq_")) for d in dims}
     half_f = fd[half_dim]
     ax_half = daft.get_axis_num(half_f)
     m = daft.sizes[half_f]
 
-    # tail: k = m..n-1 maps to (n-k reversed) on the half axis and to
-    # (-i mod n_a) on every other transform axis
-    ndim = len(daft.dims)
-    key = [slice(None)] * ndim
-    key[ax_half] = slice(1, n_full - m + 1)
-    tail = carray.getitem(ps_half, tuple(key))
-    tail = carray.flip(tail, [ax_half])
+    # host-side index maps: output position o on the full (possibly
+    # shifted) half axis reads unshifted freq k = (o - h) mod n; k < m is
+    # the one-sided column k, k >= m mirrors to column n - k with every
+    # other transform axis index negated (mod its size, in its already
+    # shifted order)
+    n = n_full
+    h = n // 2 if shift else 0
+    ks = (np.arange(n) - h) % n
+    mirror = ks >= m
+    src = np.where(mirror, (n - ks) % n, ks)
+    # non-half-axis mirror map (-f on the possibly shifted grid) is the
+    # permutation o -> (2h - o) mod n == roll(reverse(.), 2h+1-n): pure
+    # reverse/slice HLOs, far cheaper than gathers on TPU
+    rev_rolls = {}
     for d in dims:
         if d == half_dim:
             continue
-        a = daft.get_axis_num(fd[d])
         na = daft.sizes[fd[d]]
-        perm = (-np.arange(na)) % na
-        tail = carray.take(tail, jnp.asarray(perm), axis=a)
-    full = carray.concatenate([ps_half, tail], axis=ax_half)
+        ha = na // 2 if shift else 0
+        rev_rolls[daft.get_axis_num(fd[d])] = (2 * ha + 1 - na) % na
 
-    freq_axes = [daft.get_axis_num(fd[d]) for d in dims]
-    if shift:
-        full = carray.fftshift(full, freq_axes)
+    pieces = []
+    start = 0
+    for i in range(1, n + 1):
+        if i == n or mirror[i] != mirror[start]:
+            cols = src[start:i]
+            ndim = ps_half.re.ndim if carray.is_pair(ps_half) \
+                else ps_half.ndim
+            key = [slice(None)] * ndim
+            if mirror[start]:
+                # strictly descending consecutive columns: slice + reverse
+                key[ax_half] = slice(int(cols[-1]), int(cols[0]) + 1)
+                piece = carray.flip(carray.getitem(ps_half, tuple(key)),
+                                    [ax_half])
+                for a, s in rev_rolls.items():
+                    piece = carray.flip(piece, [a])
+                    if s:
+                        piece = carray.roll(piece, s, a)
+            else:
+                key[ax_half] = slice(int(cols[0]), int(cols[-1]) + 1)
+                piece = carray.getitem(ps_half, tuple(key))
+            pieces.append(piece)
+            start = i
+    full = pieces[0] if len(pieces) == 1 \
+        else carray.concatenate(pieces, axis=ax_half)
 
     # rebuild coordinates for the full two-sided grid
     delta = [
@@ -190,10 +228,20 @@ def power_spectrum(
 
     half = _half_spectrum_dim(da, dim, real_dim, kwargs)
     if half is not None:
-        ps = _power_spectrum_via_rfft(da, dim, half, kwargs)
-        updated_dims = [
-            d for d in ps.dims if (d not in da.dims and "segment" not in d)
-        ]
+        # fold the scalar density/window factors into the |.|^2 pass
+        prescale = None
+        if scaling != "false_density":
+            pre = 1.0
+            if window_correction:
+                pre = 1.0 / _window_correction_factor(
+                    da, dim, scaling, kwargs.get("window")).data
+            fs = 1.0
+            for d in _norm_dim_list(da, dim):
+                delta = ce.get_coordinate_spacing(
+                    _dim_coord(da, d), kwargs.get("spacing_tol", 1e-3))
+                fs *= 1.0 / (da.sizes[d] * delta)
+            prescale = pre * (fs if scaling == "density" else fs**2)
+        return _power_spectrum_via_rfft(da, dim, half, kwargs, prescale)
     else:
         daft = fft(da, dim=dim, real_dim=real_dim, **kwargs)
         updated_dims = [

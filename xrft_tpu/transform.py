@@ -148,6 +148,7 @@ def fft(
     prefix: str = "freq_",
     real: str | None = None,
     engine: str | None = None,
+    _shift_nonreal: bool = False,
 ) -> LabeledArray:
     """Perform the discrete Fourier transform of `da` along specified dims.
 
@@ -191,8 +192,14 @@ def fft(
 
     rawdims = da.dims  # includes segment dims, if any
 
+    nonreal_shift = False
     if real_dim is not None:
         da = da.transpose(*_move_to_end(list(da.dims), real_dim))
+        # reference semantics force shift=False for real transforms
+        # (/root/reference/xrft/xrft.py:400-404); _shift_nonreal is an
+        # internal hook (spectra one-sided fast path) that shifts the
+        # non-real axes inside the engine's constants for free
+        nonreal_shift = shift and _shift_nonreal
         shift = False
 
     axis_num = [da.get_axis_num(d) for d in dim]
@@ -234,12 +241,19 @@ def fft(
         if reversed_axes:
             data = carray.flip(data, reversed_axes)
 
+    if nonreal_shift:
+        post_axes = [a for a, d in zip(axis_num, dim) if d != real_dim]
+    else:
+        post_axes = axis_num if shift else ()
     f = _run_core(data, axis_num, "fft" if real_dim is None else "rfft",
                   engine,
                   pre_shift_axes=axis_num if true_phase else (),
-                  post_shift_axes=axis_num if shift else ())
+                  post_shift_axes=post_axes)
 
     k = ce.freq_grids(N, delta_x, real_dim is not None, shift)
+    if nonreal_shift:
+        k = [np.fft.fftshift(kk) if d != real_dim else kk
+             for kk, d in zip(k, dim)]
 
     # build output: transform dims renamed freq_<d> with freq coords;
     # all other dims/coords carried through
