@@ -79,9 +79,23 @@ def isotropize(ps: LabeledArray, fftdim, nfactor=4, truncate=True,
         data = _asjax(data)
     flat_shape = tuple(ordered.shape[:-2]) + (N[0] * N[1],)
     data = carray.reshape(data, flat_shape)
-    iso = binned_sum(data, codes, nbins_eff)
-    if not complx and carray.is_complex(iso):
-        iso = carray.real(iso)
+    if isinstance(data, (carray.DF64, carray.CDF64)):
+        # high-precision path: per-bin compensated sums (engine='hp')
+        from .ops.hp import masked_bin_sums
+
+        cflat = codes.reshape(-1)
+        if isinstance(data, carray.DF64):
+            iso = carray.DF64(*masked_bin_sums(data.hi, data.lo, cflat,
+                                               nbins_eff))
+        else:
+            rh, rl = masked_bin_sums(data.rh, data.rl, cflat, nbins_eff)
+            ih, il = masked_bin_sums(data.ih, data.il, cflat, nbins_eff)
+            iso = carray.CDF64(rh, rl, ih, il) if complx \
+                else carray.DF64(rh, rl)
+    else:
+        iso = binned_sum(data, codes, nbins_eff)
+        if not complx and carray.is_complex(iso):
+            iso = carray.real(iso)
 
     out_dims = other + ["freq_r"]
     out_coords = {

@@ -209,7 +209,8 @@ class LabeledArray:
             attrs = data.attrs if attrs is None else attrs
             name = data.name if name is None else name
             data = data.data
-        if not isinstance(data, (jax.Array, np.ndarray, ComplexPair)):
+        if not isinstance(data, (jax.Array, np.ndarray, ComplexPair,
+                                 carray.DF64, carray.CDF64)):
             data = np.asarray(data)
         if isinstance(data, np.ndarray) and data.dtype == np.complex128:
             # complex128 stays host-resident: converting would silently drop

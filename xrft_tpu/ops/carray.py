@@ -143,6 +143,119 @@ class ComplexPair:
         return _maybe_pair(o) / self
 
 
+@jax.tree_util.register_pytree_node_class
+class DF64:
+    """A real array in double-word float32 ("df64", ~49-bit mantissa):
+    value = hi + lo with the error-free invariants of :mod:`.df64`.
+
+    Carried as LabeledArray data by the high-precision (engine='hp')
+    pipeline; ``.values``/``to_numpy`` reconstruct float64 on host.
+    """
+
+    __slots__ = ("hi", "lo")
+
+    def __init__(self, hi, lo):
+        self.hi = hi
+        self.lo = lo
+
+    def tree_flatten(self):
+        return (self.hi, self.lo), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+    @property
+    def shape(self):
+        return tuple(self.hi.shape)
+
+    @property
+    def ndim(self):
+        return self.hi.ndim
+
+    @property
+    def size(self):
+        return self.hi.size
+
+    @property
+    def dtype(self):
+        return np.dtype(np.float64)
+
+    def __array__(self, dtype=None, copy=None):
+        out = np.asarray(self.hi).astype(np.float64) \
+            + np.asarray(self.lo).astype(np.float64)
+        return out.astype(dtype) if dtype is not None else out
+
+    def __repr__(self):
+        return f"DF64(shape={self.shape})"
+
+
+@jax.tree_util.register_pytree_node_class
+class CDF64:
+    """A complex array in double-word float32: re = rh+rl, im = ih+il."""
+
+    __slots__ = ("rh", "rl", "ih", "il")
+
+    def __init__(self, rh, rl, ih, il):
+        self.rh = rh
+        self.rl = rl
+        self.ih = ih
+        self.il = il
+
+    def tree_flatten(self):
+        return (self.rh, self.rl, self.ih, self.il), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+    @property
+    def shape(self):
+        return tuple(self.rh.shape)
+
+    @property
+    def ndim(self):
+        return self.rh.ndim
+
+    @property
+    def size(self):
+        return self.rh.size
+
+    @property
+    def dtype(self):
+        return np.dtype(np.complex128)
+
+    @property
+    def quad(self):
+        return (self.rh, self.rl, self.ih, self.il)
+
+    @property
+    def real(self):
+        return DF64(self.rh, self.rl)
+
+    @property
+    def imag(self):
+        return DF64(self.ih, self.il)
+
+    def conj(self):
+        return CDF64(self.rh, self.rl, -self.ih, -self.il)
+
+    def __array__(self, dtype=None, copy=None):
+        re = np.asarray(self.rh).astype(np.float64) \
+            + np.asarray(self.rl).astype(np.float64)
+        im = np.asarray(self.ih).astype(np.float64) \
+            + np.asarray(self.il).astype(np.float64)
+        out = re + 1j * im
+        return out.astype(dtype) if dtype is not None else out
+
+    def __repr__(self):
+        return f"CDF64(shape={self.shape})"
+
+
+def is_df64(x) -> bool:
+    return isinstance(x, (DF64, CDF64))
+
+
 def _is_complex_scalar_or_array(o) -> bool:
     if isinstance(o, complex):
         return True
@@ -201,6 +314,8 @@ def _float_of(cdtype):
 def to_numpy(x) -> np.ndarray:
     if is_pair(x):
         return np.asarray(x.re) + 1j * np.asarray(x.im)
+    if is_df64(x):
+        return np.asarray(x)
     return np.asarray(x)
 
 
@@ -212,27 +327,45 @@ def to_numpy(x) -> np.ndarray:
 def _map(x, fn):
     if is_pair(x):
         return ComplexPair(fn(x.re), fn(x.im))
+    if isinstance(x, DF64):
+        return DF64(fn(x.hi), fn(x.lo))
+    if isinstance(x, CDF64):
+        return CDF64(fn(x.rh), fn(x.rl), fn(x.ih), fn(x.il))
     return fn(x)
 
 
 def conj(x):
-    if is_pair(x):
+    if is_pair(x) or isinstance(x, CDF64):
         return x.conj()
     return jnp.conj(x)
 
 
 def real(x):
-    return x.re if is_pair(x) else jnp.real(x)
+    if is_pair(x) or isinstance(x, CDF64):
+        return x.real
+    return jnp.real(x)
 
 
 def imag(x):
-    return x.im if is_pair(x) else jnp.imag(x)
+    if is_pair(x) or isinstance(x, CDF64):
+        return x.imag
+    return jnp.imag(x)
 
 
 def abs2(x):
     """|x|^2 as a real array (the power-spectrum kernel)."""
     if is_pair(x):
         return x.re * x.re + x.im * x.im
+    if isinstance(x, CDF64):
+        from . import df64
+
+        r2 = df64.mul(x.rh, x.rl, x.rh, x.rl)
+        i2 = df64.mul(x.ih, x.il, x.ih, x.il)
+        return DF64(*df64.add(*r2, *i2))
+    if isinstance(x, DF64):
+        from . import df64
+
+        return DF64(*df64.mul(x.hi, x.lo, x.hi, x.lo))
     if np.dtype(x.dtype).kind == "c":
         return jnp.real(x * jnp.conj(x))
     return x * x
@@ -247,6 +380,11 @@ def absolute(x):
 def angle(x):
     if is_pair(x):
         return jnp.arctan2(x.im, x.re)
+    if isinstance(x, CDF64):
+        # angle is scale-invariant; atan2 is evaluated in f32 on the
+        # f64-accurate components (the transcendental itself has no df64
+        # implementation here) -> ~1e-7 phase accuracy
+        return jnp.arctan2(x.ih + x.il, x.rh + x.rl)
     return jnp.angle(x)
 
 

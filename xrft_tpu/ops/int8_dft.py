@@ -235,3 +235,100 @@ def int8_fft_last(x, sign: int = -1):
     a = int8_dft_last(a, sign)                       # (..., k1, k2)
     a = tuple(jnp.swapaxes(v, -1, -2) for v in a)
     return reshape_all(a, shape[:-1] + (n,))
+
+
+# --------------------------------------------------------------------------
+# N-D driver (round 2): rfft / fft / ifft / irfft over any axes
+# --------------------------------------------------------------------------
+
+
+def _roll4(x4, shift, axis):
+    return tuple(jnp.roll(v, shift, axis=axis) for v in x4)
+
+
+def int8_fft_nd(x, axes, kind: str = "fft", pre_shift_axes=(),
+                post_shift_axes=(), post_kind: str = "fftshift"):
+    """High-precision N-D transform via per-axis int8-limb MXU DFTs.
+
+    x: f32/f64 array, 4-tuple, or anything :func:`..hp.as_quad` accepts.
+    kind: 'fft' | 'ifft' | 'rfft' | 'irfft' (real axis = last of ``axes``
+    and trailing, as in :func:`.matmul_fft.matmul_fft_nd`).  Shifts are
+    explicit rolls (this is the precision path; the absorbed-shift
+    machinery of the f32 engines is not needed here).  Returns a complex
+    df64 4-tuple; 'irfft' returns a real df64 (hi, lo) 2-tuple.
+
+    Accuracy: ~1e-13 relative on-chip (scripts/chip_checks.py); axis sizes
+    up to 4M (two int8 DFT stages of <= 2000 each).
+    """
+    from . import df64 as _df64
+    from .hp import as_quad
+
+    x4 = as_quad(x)
+    ndim = x4[0].ndim
+    axes = [a % ndim for a in axes]
+    pre = {a % ndim for a in pre_shift_axes}
+    post = {a % ndim for a in post_shift_axes}
+    sign = +1 if kind in ("ifft", "irfft") else -1
+
+    def tf_axis(z4, ax, sgn):
+        if ax != ndim - 1:
+            z4 = tuple(jnp.moveaxis(v, ax, -1) for v in z4)
+        z4 = int8_fft_last(z4, sgn)
+        if ax != ndim - 1:
+            z4 = tuple(jnp.moveaxis(v, -1, ax) for v in z4)
+        return z4
+
+    if kind == "irfft":
+        m = x4[0].shape[-1]
+        n = 2 * (m - 1)
+        out = x4
+        for a in axes[:-1]:
+            if a in pre:
+                out = _roll4(out, -(out[0].shape[a] // 2), a)
+            out = tf_axis(out, a, sign)
+        # Hermitian extension of the last axis, then full inverse
+        tail = tuple(v[..., -2:0:-1] for v in out)
+        tail = (tail[0], tail[1], -tail[2], -tail[3])
+        out = tuple(jnp.concatenate([a_, b_], axis=-1)
+                    for a_, b_ in zip(out, tail))
+        out = int8_fft_last(out, sign)
+        scale = 1.0
+        for a in axes[:-1]:
+            scale *= x4[0].shape[a]
+        scale *= n
+        sh, sl = (np.float32(v) for v in
+                  _split_scalar(1.0 / scale))
+        return _df64.mul(out[0], out[1], sh, sl)
+
+    # rfft: transform (and halve) the real trailing axis first, so the
+    # remaining axes work on the one-sided array (numpy rfftn order)
+    order = ([axes[-1]] + axes[:-1]) if kind == "rfft" else axes
+    out = x4
+    for a in order:
+        if a in pre:
+            out = _roll4(out, -(out[0].shape[a] // 2), a)
+        out = tf_axis(out, a, sign)
+        if kind == "rfft" and a == axes[-1]:
+            n = out[0].shape[a]
+            idx = [slice(None)] * ndim
+            idx[a] = slice(0, n // 2 + 1)
+            out = tuple(v[tuple(idx)] for v in out)
+        elif a in post:
+            amt = out[0].shape[a] // 2
+            out = _roll4(out, amt if post_kind == "fftshift" else -amt, a)
+
+    if kind == "ifft":
+        scale = 1.0
+        for a in axes:
+            scale *= x4[0].shape[a]
+        sh, sl = (np.float32(v) for v in _split_scalar(1.0 / scale))
+        re = df64.mul(out[0], out[1], sh, sl)
+        im = df64.mul(out[2], out[3], sh, sl)
+        out = (*re, *im)
+    return out
+
+
+def _split_scalar(v: float):
+    hi = np.float32(v)
+    lo = np.float32(np.float64(v) - np.float64(hi))
+    return hi, lo

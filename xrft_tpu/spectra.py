@@ -223,6 +223,16 @@ def power_spectrum(
         real_dim = kwargs.get("real")
         warnings.warn(_real_flag_warning, FutureWarning)
 
+    if kwargs.get("engine") == "hp":
+        from .highprec import power_spectrum_hp
+
+        kwargs.pop("engine")
+        kwargs.pop("real", None)
+        return power_spectrum_hp(da, dim=dim, real_dim=real_dim,
+                                 scaling=scaling,
+                                 window_correction=window_correction,
+                                 **kwargs)
+
     # true_phase does not matter for |F|^2; forced off to skip phase work
     kwargs.update({"true_amplitude": True, "true_phase": False})
 
@@ -282,6 +292,16 @@ def cross_spectrum(
 
     kwargs, scaling = _pop_density(kwargs, "cross_spectrum", scaling)
     kwargs.update({"true_amplitude": True})
+
+    if kwargs.get("engine") == "hp":
+        from .highprec import cross_spectrum_hp
+
+        kwargs.pop("engine")
+        kwargs.pop("real", None)
+        return cross_spectrum_hp(da1, da2, dim=dim, real_dim=real_dim,
+                                 scaling=scaling,
+                                 window_correction=window_correction,
+                                 true_phase=true_phase, **kwargs)
 
     daft1 = fft(da1, dim=dim, real_dim=real_dim, true_phase=true_phase, **kwargs)
     daft2 = fft(da2, dim=dim, real_dim=real_dim, true_phase=true_phase, **kwargs)

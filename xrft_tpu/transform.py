@@ -177,6 +177,18 @@ def fft(
         real_dim = real
         warnings.warn(_real_flag_warning, FutureWarning)
 
+    if engine == "hp":
+        # high-precision path: df64 elementwise + int8-limb MXU DFT
+        # (~1e-13 on-chip; see highprec.fft_hp)
+        if chunks_to_segments:
+            raise NotImplementedError(
+                "engine='hp' does not support chunks_to_segments yet"
+            )
+        from .highprec import fft_hp
+
+        return fft_hp(da, spacing_tol, dim, real_dim, shift, detrend,
+                      window, true_phase, true_amplitude, prefix)
+
     if real_dim is not None:
         if real_dim not in da.dims:
             raise ValueError(
@@ -320,6 +332,16 @@ def ifft(
     if real is not None:
         real_dim = real
         warnings.warn(_real_flag_warning, FutureWarning)
+
+    if engine == "hp":
+        if chunks_to_segments:
+            raise NotImplementedError(
+                "engine='hp' does not support chunks_to_segments yet"
+            )
+        from .highprec import ifft_hp
+
+        return ifft_hp(daft, spacing_tol, dim, real_dim, shift, true_phase,
+                       true_amplitude, prefix, lag)
 
     if real_dim is not None:
         if real_dim not in daft.dims:
