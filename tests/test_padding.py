@@ -121,3 +121,41 @@ def test_pad_fft_ifft_unpad_roundtrip():
     )
     npt.assert_allclose(unpadded.values, da.values, atol=1e-11)
     npt.assert_allclose(unpadded["x"].values, x, atol=1e-11)
+
+
+def test_pad_per_dim_mapping_kwargs():
+    """Dict-valued per-dim constant_values / end_values / stat_length,
+    matching the reference's xarray.DataArray.pad forwarding
+    (/root/reference/xrft/padding.py:73-112)."""
+    rng = np.random.RandomState(0)
+    da = LabeledArray(rng.rand(4, 6), dims=["y", "x"],
+                      coords={"y": np.arange(4.0), "x": np.arange(6.0)})
+
+    p = xrft_tpu.pad(da, {"y": 1, "x": 2}, mode="constant",
+                     constant_values={"y": 7.0, "x": (1.0, 2.0)})
+    ref = np.pad(da.values, ((1, 1), (2, 2)), mode="constant",
+                 constant_values=((7.0, 7.0), (1.0, 2.0)))
+    npt.assert_allclose(p.values, ref)
+
+    # missing dim falls back to the default (0)
+    p = xrft_tpu.pad(da, {"y": 1, "x": 1}, mode="constant",
+                     constant_values={"x": 3.0})
+    ref = np.pad(da.values, 1, mode="constant",
+                 constant_values=((0.0, 0.0), (3.0, 3.0)))
+    npt.assert_allclose(p.values, ref)
+
+    p = xrft_tpu.pad(da, {"x": 2}, mode="linear_ramp",
+                     end_values={"x": (5.0, -1.0)})
+    ref = np.pad(da.values, ((0, 0), (2, 2)), mode="linear_ramp",
+                 end_values=((0, 0), (5.0, -1.0)))
+    npt.assert_allclose(p.values, ref)
+
+    p = xrft_tpu.pad(da, {"x": 2}, mode="maximum",
+                     stat_length={"x": 2})
+    ref = np.pad(da.values, ((0, 0), (2, 2)), mode="maximum",
+                 stat_length=((4, 4), (2, 2)))
+    npt.assert_allclose(p.values, ref)
+
+    with pytest.raises(ValueError, match="unknown dims"):
+        xrft_tpu.pad(da, {"x": 1}, mode="constant",
+                     constant_values={"z": 1.0})

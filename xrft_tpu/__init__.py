@@ -22,4 +22,23 @@ from .detrend import detrend  # noqa: F401
 from .padding import pad, unpad  # noqa: F401
 from .highprec import fft64, ifft64  # noqa: F401
 
+# xarray at the API boundary: every public array function accepts and
+# returns xarray.DataArray when given one (the reference's native surface,
+# /root/reference/xrft/xrft.py:307); plus the `da.xrft` accessor when
+# xarray is importable.
+from .xarray_compat import from_xarray, to_xarray, xr_boundary  # noqa: F401
+
+for _name in (
+    "fft", "ifft", "dft", "idft", "power_spectrum", "cross_spectrum",
+    "cross_phase", "isotropize", "isotropic_power_spectrum",
+    "isotropic_cross_spectrum", "pad", "unpad", "detrend", "fft64",
+    "ifft64",
+):
+    globals()[_name] = xr_boundary(globals()[_name])
+del _name
+
+from .xarray_compat import register_accessor as _register_accessor
+
+_register_accessor()
+
 __version__ = "0.1.0"

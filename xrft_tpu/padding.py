@@ -67,14 +67,37 @@ def pad(
 
     widths = [norm.get(d, (0, 0)) for d in da.dims]
 
+    def _per_axis(value, defaults):
+        """Normalize a per-dim mapping {dim: v | (before, after)} into
+        numpy's per-axis tuple form, matching how the reference forwards
+        these through xarray.DataArray.pad
+        (/root/reference/xrft/padding.py:73-112: mapping, tuple, and
+        scalar spellings)."""
+        if not isinstance(value, dict):
+            return value
+        unknown = set(value) - set(da.dims)
+        if unknown:
+            raise ValueError(
+                f"per-dim pad argument has unknown dims {sorted(unknown)}"
+            )
+        out = []
+        for d, dflt in zip(da.dims, defaults):
+            v = value.get(d, dflt)
+            out.append(tuple(v) if isinstance(v, (tuple, list)) else (v, v))
+        return tuple(out)
+
     kw = {}
     if mode == "constant":
-        kw["constant_values"] = constant_values
+        kw["constant_values"] = _per_axis(
+            constant_values, [0] * len(da.dims))
     elif mode == "linear_ramp":
-        kw["end_values"] = end_values if end_values is not None else 0
+        kw["end_values"] = _per_axis(
+            end_values if end_values is not None else 0, [0] * len(da.dims))
     elif mode in ("maximum", "mean", "median", "minimum"):
         if stat_length is not None:
-            kw["stat_length"] = stat_length
+            # a missing dim uses the whole axis (numpy's None semantics)
+            kw["stat_length"] = _per_axis(
+                stat_length, [da.sizes[d] for d in da.dims])
     elif mode in ("reflect", "symmetric"):
         if reflect_type is not None:
             kw["reflect_type"] = reflect_type

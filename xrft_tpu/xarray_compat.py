@@ -60,3 +60,87 @@ def to_xarray(la: LabeledArray):
         attrs=dict(la.attrs),
         name=la.name,
     )
+
+
+def is_dataarray(obj) -> bool:
+    """Duck-typed check for ``xarray.DataArray`` without importing xarray
+    (works with any module exposing the DataArray surface we consume)."""
+    t = type(obj)
+    if t.__module__.split(".")[0] not in ("xarray",):
+        return False
+    return all(hasattr(obj, a) for a in ("dims", "coords", "attrs", "values"))
+
+
+def xr_boundary(fn):
+    """Wrap a public function so it accepts and returns
+    ``xarray.DataArray`` (reference API surface,
+    ``/root/reference/xrft/xrft.py:307-476``): DataArray positional args
+    are converted via :func:`from_xarray`; if the first array argument was
+    a DataArray, LabeledArray results convert back via :func:`to_xarray`.
+    """
+    import functools
+
+    @functools.wraps(fn)
+    def wrapper(*args, **kwargs):
+        was_xr = args and is_dataarray(args[0])
+        if was_xr or any(is_dataarray(a) for a in args):
+            args = tuple(from_xarray(a) if is_dataarray(a) else a
+                         for a in args)
+        kwargs = {k: from_xarray(v) if is_dataarray(v) else v
+                  for k, v in kwargs.items()}
+        out = fn(*args, **kwargs)
+        if was_xr:
+            if isinstance(out, LabeledArray):
+                return to_xarray(out)
+            if isinstance(out, tuple):
+                return tuple(to_xarray(o) if isinstance(o, LabeledArray)
+                             else o for o in out)
+        return out
+
+    wrapper.__wrapped_la__ = fn
+    return wrapper
+
+
+class XrftAccessor:
+    """``da.xrft.<method>`` accessor on xarray DataArrays, mirroring the
+    package namespace (fft/ifft, spectra, isotropic estimators, pad/unpad,
+    detrend, high-precision variants)."""
+
+    _METHODS = (
+        "fft", "ifft", "dft", "idft", "power_spectrum", "cross_spectrum",
+        "cross_phase", "isotropize", "isotropic_power_spectrum",
+        "isotropic_cross_spectrum", "pad", "unpad", "detrend",
+        "fft64", "ifft64",
+    )
+
+    def __init__(self, da):
+        self._da = da
+
+    def __getattr__(self, name):
+        if name not in self._METHODS:
+            raise AttributeError(name)
+        import xrft_tpu
+
+        fn = getattr(xrft_tpu, name)
+
+        def method(*args, **kwargs):
+            return fn(self._da, *args, **kwargs)
+
+        method.__name__ = name
+        return method
+
+
+def register_accessor(xarray_module=None) -> bool:
+    """Register the ``.xrft`` DataArray accessor; returns True on success.
+    Called at package import; a no-op when xarray is absent."""
+    try:
+        xr = xarray_module
+        if xr is None:
+            import xarray as xr
+    except ImportError:
+        return False
+    try:
+        xr.register_dataarray_accessor("xrft")(XrftAccessor)
+    except Exception:
+        return False
+    return True
