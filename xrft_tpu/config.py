@@ -51,6 +51,11 @@ class _Config:
     # the v5e: single dot_general per four-step stage, folded twiddles,
     # no tiny minor dims); "never" forces the round-1 pair engine.
     stacked_fft: str = "auto"
+    # Pencil-FFT compute/communication overlap: split each
+    # (all_to_all -> local FFT) pair along a resident batch axis into this
+    # many independent chunks so XLA's latency-hiding scheduler can overlap
+    # chunk i's collective with chunk i-1's FFT.  1 = no chunking.
+    pencil_overlap_chunks: int = 1
     # Fused Pallas four-step FFT kernel: "never" (default — the Mosaic
     # build in this toolchain rejects the kernel's lane-splitting reshapes
     # with "infer-vector-layout: unsupported shape cast"), "auto" (TPU,

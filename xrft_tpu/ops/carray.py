@@ -419,11 +419,38 @@ def flip(x, axis):
 
 
 def take(x, indices, axis):
-    return _map(x, lambda v: jnp.take(v, indices, axis=axis))
+    def f(v):
+        try:
+            return jnp.take(v, indices, axis=axis)
+        except Exception as e:
+            # gathers on sharded dims need an explicit output sharding
+            # under strict sharding typing; a same-length take along one
+            # axis preserves the operand's spec
+            if type(e).__name__ != "ShardingTypeError":
+                raise
+            sh = jax.typeof(v).sharding
+            key = tuple(indices if i == axis else slice(None)
+                        for i in range(v.ndim))
+            return v.at[key].get(out_sharding=sh)
+
+    return _map(x, f)
 
 
 def roll(x, shift, axis):
     return _map(x, lambda v: jnp.roll(v, shift, axis=axis))
+
+
+def take_with_sharding(x, idx, axis, sharding):
+    """Constant-index gather along ``axis`` with an explicit output
+    sharding (required for gathers on sharded dims under strict sharding
+    typing; GSPMD inserts the collective)."""
+
+    def f(v):
+        key = tuple(idx if i == axis else slice(None)
+                    for i in range(v.ndim))
+        return v.at[key].get(out_sharding=sharding)
+
+    return _map(x, f)
 
 
 def getitem(x, key):

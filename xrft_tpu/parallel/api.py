@@ -34,6 +34,12 @@ def _make_engine(mesh: Mesh, dims: tuple, dim_shards: dict):
         }
         return pencil_fftn(data, axes, mesh, axis_sharding, kind)
 
+    # advertised so spectra's one-sided fast path can check that the half
+    # (rfft) axis is unsharded and reconstruct the forward-chain output
+    # layout (pencil.plan_forward_layout) for sharded mirror gathers
+    engine_fn.dim_shards = dict(dim_shards)
+    engine_fn.mesh = mesh
+    engine_fn.dims = tuple(dims)
     return engine_fn
 
 

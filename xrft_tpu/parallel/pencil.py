@@ -9,11 +9,33 @@ decomposition (cf. AccFFT, PAPERS.md): per-axis FFTs are always *local*
 via ``all_to_all`` collective transposes that ride the ICI when mesh axes
 map to physical rings.
 
-Algorithm (inside ``jax.shard_map``): for each transform axis
-  * axis unsharded  -> local FFT.
-  * axis sharded on mesh axis m -> all_to_all swaps residency with a
-    "buddy" axis (an unsharded axis with divisible extent), local FFT, then
-    all_to_all back.  Layout in == layout out.
+Round-2 redesign — the **forward pencil chain** (VERDICT round-1 item 6):
+instead of the round-1 transpose-and-back buddy scheme (2 collectives per
+sharded axis, layout in == layout out), each sharded transform axis hands
+its mesh sharding *forward* to a destination axis with ONE ``all_to_all``
+and leaves it there:
+
+    for each transform axis a (in order):
+        a unsharded -> local FFT
+        a sharded on mesh axis m -> all_to_all moves m's sharding from a
+            to a divisible, currently-unsharded destination axis (prefer
+            already-transformed or batch axes); local FFT along a
+
+This halves collective volume for forward transforms (pinned by a jaxpr
+collective-count test).  The output's sharding therefore differs from the
+input's; the layout evolution is a *deterministic* host-side function of
+(shape, axes, sharding), so the inverse kinds ('ifft'/'irfft') reconstruct
+the forward chain's final layout and walk it backwards — a sharded
+roundtrip is collective-minimal and ends in the original layout.  If no
+divisible destination exists for an axis, that axis alone falls back to
+the round-1 transpose-and-back scheme (zero-padding a destination is only
+possible when the sharding comes back).
+
+Optional compute/communication overlap: ``config.pencil_overlap_chunks``
+splits each (all_to_all -> local FFT) pair along a resident batch axis
+into independent per-chunk pairs, giving XLA's latency-hiding scheduler
+freedom to overlap chunk i's collective with chunk i-1's FFT (AccFFT's
+pipelining, expressed in dataflow rather than streams).
 
 All data moves in split-complex (re, im) component pairs on TPU — the
 collectives and FFT matmuls see only real f32 arrays.
@@ -25,9 +47,10 @@ import jax
 import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
+from ..config import config
 from ..ops import carray, fft_core
 
-__all__ = ["pencil_fftn"]
+__all__ = ["pencil_fftn", "plan_forward_layout"]
 
 
 def _all_to_all(x, mesh_axis, split_axis, concat_axis):
@@ -40,34 +63,74 @@ def _all_to_all(x, mesh_axis, split_axis, concat_axis):
     return fn(x)
 
 
-def _pick_buddy(ndim, axis, axis_sharding, local_shape, P_size):
-    """Choose an unsharded axis to temporarily host the sharding during the
-    transpose.  Prefers one whose extent divides the mesh-axis size; else
-    returns the one needing the least zero-padding (padding is valid because
-    the axis-`axis` FFT acts independently per buddy-axis position).
+def _concat(parts, axis):
+    if carray.is_pair(parts[0]):
+        return carray.ComplexPair(
+            jax.numpy.concatenate([p.re for p in parts], axis=axis),
+            jax.numpy.concatenate([p.im for p in parts], axis=axis),
+        )
+    return jax.numpy.concatenate(parts, axis=axis)
 
-    Axes sharded on *other* mesh axes are valid buddies too (their local
-    shard splits further during the transpose and is restored by the
-    reverse transpose), so any multi-axis-sharded layout works.
 
-    Returns (buddy_axis, pad_amount)."""
-    cands = [b for b in range(ndim) if b != axis]
+def _split_chunks(x, axis, k):
+    n = x.shape[axis] if not carray.is_pair(x) else x.re.shape[axis]
+    sizes = [n // k + (1 if i < n % k else 0) for i in range(k)]
+    out, start = [], 0
+    for s in sizes:
+        key = tuple(slice(start, start + s) if i == axis else slice(None)
+                    for i in range(x.ndim))
+        out.append(carray.getitem(x, key) if carray.is_pair(x) else x[key])
+        start += s
+    return out
+
+
+def _pick_dest(ndim, axis, sharding, global_shape, P_size, transform_axes,
+               done_axes, banned=()):
+    """Forward-chain destination for the sharding leaving ``axis``: a
+    currently-unsharded axis whose *global* extent divides P_size (its
+    local extent is then divisible too, shard_map sees local shapes).
+    Preference: batch axes and already-transformed axes over
+    yet-untransformed transform axes (those would move the sharding again).
+    Returns the destination axis or None (-> round-trip fallback)."""
+    cands = []
+    for b in range(ndim):
+        if b == axis or b in banned or sharding.get(b):
+            continue
+        if global_shape[b] % P_size != 0:
+            continue
+        later = b in transform_axes and b not in done_axes
+        cands.append((1 if later else 0, b))
     if not cands:
-        raise ValueError(
-            f"pencil FFT needs a buddy axis to transpose axis {axis}; "
-            f"a 1-D sharded transform has none (shapes {local_shape})."
-        )
+        return None
+    return min(cands)[1]
 
-    def cost(b):
-        pad = (-local_shape[b]) % P_size
-        return (
-            0 if pad == 0 else 1,                  # prefer no padding
-            0 if not axis_sharding.get(b) else 1,  # prefer unsharded hosts
-            pad / max(local_shape[b], 1),          # least relative padding
-        )
 
-    b = min(cands, key=cost)
-    return b, (-local_shape[b]) % P_size
+def plan_forward_layout(global_shape, axes, axis_sharding, mesh_shape,
+                        banned=()):
+    """The deterministic layout evolution of the forward chain: returns
+    (steps, final_sharding) where steps[i] describes transform axis
+    axes[i] as ('local', a) | ('move', a, dest, mesh_axis) |
+    ('roundtrip', a, mesh_axis).  ``banned`` axes never receive a sharding
+    (the real rfft/irfft axis must stay local)."""
+    ndim = len(global_shape)
+    sharding = dict(axis_sharding)
+    steps = []
+    done = set()
+    for a in axes:
+        m = sharding.get(a)
+        if m is None:
+            steps.append(("local", a))
+        else:
+            dest = _pick_dest(ndim, a, sharding, global_shape,
+                              mesh_shape[m], set(axes), done, banned)
+            if dest is None:
+                steps.append(("roundtrip", a, m))
+            else:
+                steps.append(("move", a, dest, m))
+                del sharding[a]
+                sharding[dest] = m
+        done.add(a)
+    return steps, sharding
 
 
 def pencil_fftn(
@@ -85,9 +148,12 @@ def pencil_fftn(
     axes : transform axes.  For 'rfft'/'irfft' the real axis is ``axes[-1]``
         and must be both the trailing axis and unsharded.
     mesh : jax.sharding.Mesh
-    axis_sharding : {array_axis: mesh_axis_name} for sharded axes; all other
-        axes replicated... sharded non-transform axes are allowed and act as
-        pure batch parallelism.
+    axis_sharding : {array_axis: mesh_axis_name} describing the
+        *space-domain* layout: for forward kinds this is the input's
+        sharding; for inverse kinds it is the layout the OUTPUT returns to
+        (the input is expected in the forward chain's final layout — a
+        roundtrip through this module is then collective-minimal; other
+        inputs are resharded implicitly by GSPMD).
     kind : 'fft' | 'ifft' | 'rfft' | 'irfft'
     """
     ndim = x.ndim
@@ -99,69 +165,150 @@ def pencil_fftn(
         if axis_sharding.get(ndim - 1):
             raise ValueError(f"the real ({kind}) axis must be unsharded")
 
-    spec_in = P(*[axis_sharding.get(a) for a in range(ndim)])
+    inverse = kind in ("ifft", "irfft")
+    # the chained (pencil) axes exclude the trailing real axis, which is
+    # always local
+    chain_axes = axes[:-1] if kind in ("rfft", "irfft") else axes
+
+    # global shape in the space domain == x's global shape except that for
+    # 'irfft' the trailing axis is the half spectrum (not chained: ignore)
+    banned = (ndim - 1,) if kind in ("rfft", "irfft") else ()
+    steps, final_sharding = plan_forward_layout(
+        x.shape, chain_axes, axis_sharding, dict(mesh.shape), banned)
+
+    spec_space = P(*[axis_sharding.get(a) for a in range(ndim)])
+    spec_freq = P(*[final_sharding.get(a) for a in range(ndim)])
+    spec_in, spec_out = (spec_freq, spec_space) if inverse \
+        else (spec_space, spec_freq)
+
+    core_kind = "ifft" if inverse else "fft"
+    overlap = max(int(getattr(config, "pencil_overlap_chunks", 1)), 1)
+
+    def _chunk_axis(shape, a, banned):
+        # largest resident axis other than `a` to pipeline chunks over
+        cands = [(shape[i], i) for i in range(ndim)
+                 if i != a and i not in banned and shape[i] >= overlap]
+        return max(cands)[1] if cands else None
 
     def local_fn(xl):
         out = xl
 
-        def one_axis(out, a, ckind):
-            m = axis_sharding.get(a)
-            core = fft_core.fftn if ckind == "fft" else fft_core.ifftn
-            if m is None:
-                return core(out, [a])
+        def fft_local(v, a):
+            core = fft_core.fftn if core_kind == "fft" else fft_core.ifftn
+            return core(v, [a])
+
+        def a2a_fft(v, m, split_axis, concat_axis, fft_axis, banned,
+                    fft_first=False):
+            """all_to_all + local FFT (or FFT then all_to_all for the
+            inverse chain), optionally split into independent per-chunk
+            pairs for overlap."""
+            ca = _chunk_axis(v.shape, fft_axis, banned) if overlap > 1 \
+                else None
+
+            def one(chunk):
+                if fft_first:
+                    chunk = fft_local(chunk, fft_axis)
+                    return _all_to_all(chunk, m, split_axis, concat_axis)
+                chunk = _all_to_all(chunk, m, split_axis, concat_axis)
+                return fft_local(chunk, fft_axis)
+
+            if ca is None:
+                return one(v)
+            return _concat([one(c) for c in _split_chunks(v, ca, overlap)],
+                           ca)
+
+        def run_step(out, step):
+            if step[0] == "local":
+                return fft_local(out, step[1])
+            if step[0] == "move":
+                _, a, dest, m = step
+                if inverse:
+                    # reverse: FFT while `a` is resident, then hand the
+                    # sharding back from dest to a
+                    return a2a_fft(out, m, split_axis=a, concat_axis=dest,
+                                   fft_axis=a, banned={a, dest},
+                                   fft_first=True)
+                return a2a_fft(out, m, split_axis=dest, concat_axis=a,
+                               fft_axis=a, banned={a, dest})
+            # round-trip fallback (round-1 scheme, with zero-padding)
+            _, a, m = step
             P_size = mesh.shape[m]
-            b, pad_amt = _pick_buddy(ndim, a, axis_sharding, out.shape, P_size)
+            b, pad_amt = _rt_buddy(ndim, a, axis_sharding, out.shape, P_size)
             orig = out.shape[b]
             if pad_amt:
                 widths = [(0, 0)] * ndim
                 widths[b] = (0, pad_amt)
                 out = carray.pad(out, widths)
             out = _all_to_all(out, m, split_axis=b, concat_axis=a)
-            out = core(out, [a])
+            out = fft_local(out, a)
             out = _all_to_all(out, m, split_axis=a, concat_axis=b)
             if pad_amt:
-                key = tuple(
-                    slice(0, orig) if i == b else slice(None)
-                    for i in range(ndim)
-                )
+                key = tuple(slice(0, orig) if i == b else slice(None)
+                            for i in range(ndim))
                 out = carray.getitem(out, key)
             return out
 
+        if inverse:
+            # reverse chain: inverse step order, each 'move' inverted
+            order = list(reversed(steps))
+        else:
+            order = steps
+
         if kind == "rfft":
-            # transform the (possibly sharded) complex axes first — they
-            # commute with the trailing real axis and keep full extents for
-            # the buddy transposes; then full-FFT + slice the last axis
-            # locally (it is unsharded by contract).
-            for a in axes[:-1]:
-                out = one_axis(out, a, "fft")
+            for step in order:
+                out = run_step(out, step)
             n = out.shape[-1]
             out = fft_core.fftn(out, [ndim - 1])
             return out[..., : n // 2 + 1]
         if kind == "irfft":
-            # inverse-transform the other axes first (pencil where sharded);
-            # per-last-axis Hermitian symmetry then holds, so mirror the
-            # half spectrum locally and finish with a local inverse FFT
-            for a in axes[:-1]:
-                out = one_axis(out, a, "ifft")
+            # walk the chained axes back first (on the cheap half-spectrum
+            # array); the per-position Hermitian symmetry along the real
+            # axis then holds, so mirror locally and finish with a local
+            # inverse FFT (the real axis is unsharded by contract)
+            for step in order:
+                out = run_step(out, step)
             tail = carray.conj(
                 carray.getitem(out, (Ellipsis, slice(-2, 0, -1)))
             )
             out = carray.concatenate([out, tail], axis=-1)
             out = fft_core.ifftn(out, [ndim - 1])
             return carray.real(out)
-        for a in axes:
-            out = one_axis(out, a, kind)
+        for step in order:
+            out = run_step(out, step)
         return out
 
     if carray.is_pair(x):
         in_specs = carray.ComplexPair(spec_in, spec_in)
-        out_specs = in_specs if kind != "irfft" else spec_in
+        out_specs = carray.ComplexPair(spec_out, spec_out) \
+            if kind != "irfft" else spec_out
     else:
         in_specs = spec_in
-        out_specs = spec_in
+        out_specs = spec_out
         if kind in ("fft", "ifft", "rfft") and fft_core.use_split_complex():
-            out_specs = carray.ComplexPair(spec_in, spec_in)
+            out_specs = carray.ComplexPair(spec_out, spec_out)
 
     f = jax.shard_map(local_fn, mesh=mesh, in_specs=(in_specs,),
                       out_specs=out_specs, check_vma=False)
     return f(x)
+
+
+def _rt_buddy(ndim, axis, axis_sharding, local_shape, P_size):
+    """Round-trip-fallback buddy (round-1 scheme): the axis needing the
+    least zero-padding, preferring unsharded hosts."""
+    cands = [b for b in range(ndim) if b != axis]
+    if not cands:
+        raise ValueError(
+            f"pencil FFT needs a buddy axis to transpose axis {axis}; "
+            f"a 1-D sharded transform has none (shapes {local_shape})."
+        )
+
+    def cost(b):
+        pad = (-local_shape[b]) % P_size
+        return (
+            0 if pad == 0 else 1,
+            0 if not axis_sharding.get(b) else 1,
+            pad / max(local_shape[b], 1),
+        )
+
+    b = min(cands, key=cost)
+    return b, (-local_shape[b]) % P_size
