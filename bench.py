@@ -78,13 +78,13 @@ def main():
     float(f1(x0))  # compile
     float(fk(x0))
 
+    def _wall(f, *a):
+        t0 = time.perf_counter()
+        float(f(*a))  # scalar transfer forces full execution
+        return (time.perf_counter() - t0) * 1e3
+
     def best_of(f, n=3):
-        ts = []
-        for _ in range(n):
-            t0 = time.perf_counter()
-            float(f(x0))  # scalar transfer forces full execution
-            ts.append(time.perf_counter() - t0)
-        return min(ts) * 1e3
+        return min(_wall(f, x0) for _ in range(n))
 
     t1 = best_of(f1)
     tk = best_of(fk)
@@ -141,6 +141,53 @@ def main():
         bw_ms = bytes_accessed / 819e9 * 1e3
         extras["bytes_accessed_gb"] = round(bytes_accessed / 1e9, 2)
         extras["roofline_measured_pct"] = round(100 * bw_ms / device_ms, 1)
+
+    # ---- BASELINE configs 3 & 4 timings (VERDICT round-1 item 5).
+    # One compile each: single-call wall clock minus the measured null-call
+    # (RPC) overhead; coarser than the loop-difference method used for the
+    # headline number, but keeps total bench compile time bounded.
+    import jax.numpy as jnp
+
+    null_f = jax.jit(lambda v: jnp.sum(v[0, :8]))
+    nx = jnp.zeros((8, 64), np.float32)
+    float(null_f(nx))
+    t_null = min(_wall(null_f, nx) for _ in range(5))
+
+    # config 3: isotropic power spectrum, 512^2 (one-hot-matmul binning;
+    # BASELINE config 3's size — the one-hot constant is points x bins,
+    # so larger grids pay a large host->device constant transfer)
+    N3 = 512
+    da3 = LabeledArray(rng.randn(N3, N3).astype(np.float32),
+                       dims=("y", "x"),
+                       coords={"y": np.arange(N3) * 1.0,
+                               "x": np.arange(N3) * 1.0})
+    f3 = jax.jit(lambda d: jnp.sum(xrft_tpu.isotropic_power_spectrum(
+        d, dim=["y", "x"], truncate=True).data))
+    float(f3(da3))
+    t3 = min(_wall(f3, da3) for _ in range(3))
+    extras["config3_iso_ps_512_ms"] = round(max(t3 - t_null, 0.0), 2)
+
+    # config 4: cross_spectrum, rfft over time, 64x512x512
+    B4, N4 = 64, 512
+    da4a = LabeledArray(rng.randn(B4, N4, N4).astype(np.float32),
+                        dims=("time", "y", "x"),
+                        coords={"time": np.arange(B4) * 1.0,
+                                "y": np.arange(N4) * 1.0,
+                                "x": np.arange(N4) * 1.0})
+    da4b = da4a.copy(data=jnp.asarray(
+        rng.randn(B4, N4, N4).astype(np.float32)))
+
+    def _cs(d1, d2):
+        from xrft_tpu.ops import carray as _c
+
+        cs = xrft_tpu.cross_spectrum(d1, d2, dim=["time"], real_dim="time")
+        return jnp.sum(_c.real(cs.data))
+
+    f4 = jax.jit(_cs)
+    float(f4(da4a, da4b))
+    t4 = min(_wall(f4, da4a, da4b) for _ in range(3))
+    extras["config4_cross_spectrum_64x512x512_ms"] = round(
+        max(t4 - t_null, 0.0), 2)
 
     print(json.dumps({
         "metric": f"windowed+detrended power_spectrum {B}x{N}x{N} f32, "
