@@ -388,13 +388,25 @@ def matmul_fft_nd(x, axes, kind: str, pre_shift_axes=(), post_shift_axes=(),
         mm = x.shape[-1]
         n = 2 * (mm - 1)
         out = as_pair(x) if not is_pair(x) else x
-        scale = float(n)
-        for a in axes[:-1]:
-            out = _transform_axis(out, a, +1)
-            scale *= x.shape[a]
-        # rebuild the Hermitian-symmetric full spectrum, then complex iFFT
+        # inverse-transform the non-real axes (on the cheap half-spectrum
+        # array), then rebuild the Hermitian-symmetric full spectrum and
+        # inverse the real axis; each stage prefers the stacked engine
+        scale = 1.0
+        if axes[:-1]:
+            if stacked_fft.stacked_supported(out, axes[:-1], "ifft",
+                                             set(), set()):
+                out = stacked_fft.fft_nd_stacked(out, axes[:-1], "ifft")
+            else:
+                for a in axes[:-1]:
+                    out = _transform_axis(out, a, +1)
+                    scale *= x.shape[a]
         tail = carray.conj(out[..., -2:0:-1])
         full = carray.concatenate([out, tail], axis=-1)
-        out = fft_last(full, +1)
-        return out.re * (1.0 / scale)
+        if stacked_fft.stacked_supported(full, [ndim - 1], "ifft",
+                                         set(), set()):
+            out = stacked_fft.fft_nd_stacked(full, [ndim - 1], "ifft")
+        else:
+            out = fft_last(full, +1)
+            scale *= n
+        return out.re * (1.0 / scale) if scale != 1.0 else out.re
     raise ValueError(f"unknown kind {kind!r}")

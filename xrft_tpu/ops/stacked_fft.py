@@ -459,36 +459,57 @@ def fft_nd_stacked(x, axes, kind: str, pre_shift_axes=(), post_shift_axes=(),
                 prev_dig = None
 
     # ------------------------------------------------------------ epilogue
-    # split the merged (2K) axis, transpose everything to standard order,
-    # flatten digits, slice the pruned axis — one fused copy pass
-    mp = dims.index(_ck(order[-1], len(plan(in_shape[order[-1]], cap)) - 1))
-    K = a.shape[mp] // 2
-    a = a.reshape(a.shape[:mp] + (2, K) + a.shape[mp + 1:])
-    ck_tok = dims[mp]
-    dims[mp:mp + 1] = [_C, _dig(ck_tok[1], ck_tok[2])]
+    # ONE lax.reshape(dimensions=...) performs the whole restore: it
+    # transposes digit slots to (major..minor) order per axis with the
+    # merged (c-major 2K) slot leading the last-transformed axis's group,
+    # then the row-major refill simultaneously splits the c plane out and
+    # flattens every digit group.  Splitting (.., 2K) -> (.., 2, K) as a
+    # materialized intermediate would pad the 2-sized dim 4x under TPU
+    # (8,128) tiling (~4 GB extra on the flagship PSD); this formulation
+    # is a single unpadded copy.  The c plane lands immediately before the
+    # last-transformed axis; ComplexPair slices it back out (fused views).
+    last_ax = order[-1]
+    Flast = plan(in_shape[last_ax], cap)
+    ck_pos = dims.index(_ck(last_ax, len(Flast) - 1))
 
-    perm = [pos(_C)]
-    out_axes_shapes = []
+    perm: list[int] = []
+    new_sizes: list[int] = []
+    c_axis = None
+    out_pos: dict[int, int] = {}
     for i in range(ndim):
         if i in order:
             F = plan(in_shape[i], cap)
-            digs = [pos(_dig(i, lvl)) for lvl in reversed(range(len(F)))]
+            if i == last_ax:
+                c_axis = len(new_sizes)
+                new_sizes.append(2)
+                digs = [ck_pos] + [dims.index(_dig(i, lvl))
+                                   for lvl in reversed(range(len(F) - 1))]
+            else:
+                digs = [dims.index(_dig(i, lvl))
+                        for lvl in reversed(range(len(F)))]
             perm.extend(digs)
-            out_axes_shapes.append(int(np.prod([a.shape[q] for q in digs])))
+            size = int(np.prod([a.shape[q] for q in digs]))
+            if i == last_ax:
+                size //= 2
+            out_pos[i] = len(new_sizes)
+            new_sizes.append(size)
         else:
-            perm.append(pos(_orig(i)))
-            out_axes_shapes.append(a.shape[pos(_orig(i))])
-    a = jnp.transpose(a, perm)
-    a = a.reshape((2,) + tuple(out_axes_shapes))
+            p = dims.index(_orig(i))
+            perm.append(p)
+            out_pos[i] = len(new_sizes)
+            new_sizes.append(a.shape[p])
+    a = lax.reshape(a, tuple(new_sizes), dimensions=tuple(perm))
 
     if prune_axis is not None:
         n = in_shape[prune_axis]
-        want = n // 2 + 1
         idx = [slice(None)] * a.ndim
-        idx[1 + prune_axis] = slice(0, want)
+        idx[out_pos[prune_axis]] = slice(0, n // 2 + 1)
         a = a[tuple(idx)]
 
-    return ComplexPair(a[0], a[1])
+    return ComplexPair(
+        lax.index_in_dim(a, 0, c_axis, keepdims=False),
+        lax.index_in_dim(a, 1, c_axis, keepdims=False),
+    )
 
 
 def _twiddle_mul(a, tw: np.ndarray, dims: list, ax, lvl, rdtype):
