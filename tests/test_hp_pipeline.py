@@ -159,7 +159,41 @@ def test_hp_scaling_variants():
     assert rel < 1e-5
 
 
-def test_hp_segments_raise():
-    da = _da(32).chunk({"x": 16})
+def test_hp_fft_segments():
+    """chunks_to_segments with engine='hp': segment reshape before the
+    df64 promotion; per-segment numpy f64 oracle."""
+    N, seg = 32, 16
+    rng = np.random.RandomState(21)
+    da = LabeledArray(rng.randn(N).astype(np.float32), dims=["t"],
+                      coords={"t": np.arange(N, dtype=float)}
+                      ).chunk({"t": seg})
+    out = xrft_tpu.fft(da, dim=["t"], chunks_to_segments=True,
+                       true_phase=False, true_amplitude=False,
+                       shift=False, engine="hp")
+    assert out.dims == ("t_segment", "freq_t")
+    ref = np.fft.fft(np.asarray(da.values, np.float64).reshape(2, seg),
+                     axis=-1)
+    npt.assert_allclose(np.asarray(out.values), ref, atol=1e-10)
+    # segmented PSD too
+    ps = xrft_tpu.power_spectrum(da, dim=["t"], chunks_to_segments=True,
+                                 engine="hp")
+    assert "t_segment" in ps.dims
+    # ifft segments stay unimplemented for hp
     with pytest.raises(NotImplementedError):
-        xrft_tpu.fft(da, dim=["x"], chunks_to_segments=True, engine="hp")
+        xrft_tpu.ifft(out, dim=["freq_t"], chunks_to_segments=True,
+                      engine="hp")
+
+
+def test_df64_labeledarray_ops():
+    """DF64/CDF64 as LabeledArray data: structural ops flow through
+    carray._map; values reconstruct float64/complex128."""
+    da = _da(16)
+    ft = xrft_tpu.fft(da, dim=["x"], engine="hp")
+    t = ft.transpose("freq_x", "y")
+    assert t.dims == ("freq_x", "y")
+    sub = ft.isel(y=slice(0, 4))
+    assert sub.shape == (4, 16)
+    assert sub.values.dtype == np.complex128
+    assert ft.conj().values[0, 1] == np.conj(ft.values[0, 1])
+    re = ft.real
+    assert re.values.dtype == np.float64

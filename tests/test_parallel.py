@@ -236,3 +236,37 @@ def test_sharded_one_sided_psd(mesh24):
     # sharded half axis disables it
     eng2 = _make_engine(mesh24, da.dims, {"x": "p1"})
     assert _half_spectrum_dim(da, ["y", "x"], None, {"engine": eng2}) is None
+
+
+def test_sharded_cross_spectrum(mesh24):
+    from xrft_tpu.parallel import sharded_cross_spectrum
+
+    N = 32
+    rng = np.random.RandomState(10)
+    mk = lambda s: LabeledArray(rng.randn(8, N, N),
+                                dims=["b", "y", "x"],
+                                coords={"y": np.arange(N) * 0.5,
+                                        "x": np.arange(N) * 0.5})
+    da1, da2 = mk(0), mk(1)
+    local = xrft_tpu.cross_spectrum(da1, da2, dim=["y", "x"])
+    dist = sharded_cross_spectrum(da1, da2, mesh24,
+                                  {"b": "p1", "y": "p2"}, dim=["y", "x"])
+    npt.assert_allclose(carray.to_numpy(dist.data),
+                        carray.to_numpy(local.data), atol=1e-10)
+
+
+def test_sharded_isotropic_power_spectrum(mesh24):
+    from xrft_tpu.parallel import sharded_isotropic_power_spectrum
+
+    N = 32
+    rng = np.random.RandomState(11)
+    da = LabeledArray(rng.randn(8, N, N),
+                      dims=["b", "y", "x"],
+                      coords={"y": np.arange(N) * 1.0,
+                              "x": np.arange(N) * 1.0})
+    local = xrft_tpu.isotropic_power_spectrum(da, dim=["y", "x"],
+                                              truncate=True)
+    dist = sharded_isotropic_power_spectrum(
+        da, mesh24, {"b": "p1", "y": "p2"}, dim=["y", "x"], truncate=True)
+    npt.assert_allclose(carray.to_numpy(dist.data),
+                        carray.to_numpy(local.data), atol=1e-10)

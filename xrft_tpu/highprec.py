@@ -230,6 +230,7 @@ def fft_hp(
     true_phase: bool = True,
     true_amplitude: bool = True,
     prefix: str = "freq_",
+    chunks_to_segments: bool = False,
 ) -> LabeledArray:
     """:func:`xrft_tpu.fft` semantics at df64 precision, jit-traceable.
 
@@ -241,9 +242,12 @@ def fft_hp(
     from .ops import carray
     from .ops.hp import as_quad, detrend_quad, window_quad
     from .ops.int8_dft import int8_fft_nd
-    from .transform import _move_to_end, _norm_dim
+    from .transform import _move_to_end, _norm_dim, _stack_segments
 
     dim = _norm_dim(da, dim)
+    if chunks_to_segments:
+        # metadata reshape before the df64 promotion
+        da = _stack_segments(da, dim)
     rawdims = da.dims
     if real_dim is not None:
         if real_dim not in da.dims:
@@ -532,7 +536,8 @@ def power_spectrum_hp(
     window = kwargs.get("window")
     daft = fft_hp(da, dim=dim, real_dim=real_dim, **kwargs)
     dim = _norm_dim(da, dim)
-    updated = [d for d in daft.dims if d not in da.dims]
+    updated = [d for d in daft.dims
+               if d not in da.dims and "segment" not in d]
 
     ps = carray.abs2(daft.data)  # DF64
     h, l = ps.hi, ps.lo
@@ -610,7 +615,8 @@ def cross_spectrum_hp(
     daft1 = fft_hp(da1, dim=dim, real_dim=real_dim, **kwargs)
     daft2 = fft_hp(da2, dim=dim, real_dim=real_dim, **kwargs)
     dim = _norm_dim(da1, dim)
-    updated = [d for d in daft1.dims if d not in da1.dims]
+    updated = [d for d in daft1.dims
+               if d not in da1.dims and "segment" not in d]
 
     q2 = daft2.data.conj().quad
     cs4 = df64.cmul(daft1.data.quad, q2)

@@ -181,6 +181,9 @@ class DF64:
     def dtype(self):
         return np.dtype(np.float64)
 
+    def __getitem__(self, key):
+        return DF64(self.hi[key], self.lo[key])
+
     def __array__(self, dtype=None, copy=None):
         out = np.asarray(self.hi).astype(np.float64) \
             + np.asarray(self.lo).astype(np.float64)
@@ -239,6 +242,9 @@ class CDF64:
 
     def conj(self):
         return CDF64(self.rh, self.rl, -self.ih, -self.il)
+
+    def __getitem__(self, key):
+        return CDF64(self.rh[key], self.rl[key], self.ih[key], self.il[key])
 
     def __array__(self, dtype=None, copy=None):
         re = np.asarray(self.rh).astype(np.float64) \
@@ -411,7 +417,27 @@ def swapaxes(x, a, b):
 
 
 def reshape(x, shape):
-    return _map(x, lambda v: v.reshape(shape))
+    def f(v):
+        try:
+            return v.reshape(shape)
+        except Exception as e:
+            # merging sharded trailing dims needs an explicit output
+            # sharding; the merged dim inherits the outermost merged dim's
+            # mesh axis (GSPMD resolves any required movement)
+            if type(e).__name__ != "ShardingTypeError":
+                raise
+            from jax.sharding import PartitionSpec as _P
+
+            sh = jax.typeof(v).sharding
+            nkeep = len(shape) - 1
+            if shape[:nkeep] != v.shape[:nkeep]:
+                raise
+            spec = list(sh.spec) + [None] * (v.ndim - len(sh.spec))
+            out_spec = _P(*(spec[:nkeep] + [spec[nkeep]]))
+            return jax.lax.reshape(v, shape,
+                                   out_sharding=sh.update(spec=out_spec))
+
+    return _map(x, f)
 
 
 def flip(x, axis):

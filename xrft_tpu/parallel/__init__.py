@@ -1,3 +1,8 @@
 from .mesh import make_mesh, shard_labeled  # noqa: F401
 from .pencil import pencil_fftn  # noqa: F401
-from .api import sharded_fft, sharded_power_spectrum  # noqa: F401
+from .api import (  # noqa: F401
+    sharded_cross_spectrum,
+    sharded_fft,
+    sharded_isotropic_power_spectrum,
+    sharded_power_spectrum,
+)

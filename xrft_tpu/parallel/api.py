@@ -22,7 +22,8 @@ from ..labeled import LabeledArray
 from .mesh import shard_labeled
 from .pencil import pencil_fftn
 
-__all__ = ["sharded_fft", "sharded_power_spectrum"]
+__all__ = ["sharded_fft", "sharded_power_spectrum",
+           "sharded_cross_spectrum", "sharded_isotropic_power_spectrum"]
 
 
 def _make_engine(mesh: Mesh, dims: tuple, dim_shards: dict):
@@ -80,3 +81,29 @@ def sharded_power_spectrum(da: LabeledArray, mesh: Mesh,
     da = _prepare(da, mesh, dim_shards, ps_kwargs)
     engine = _make_engine(mesh, da.dims, dim_shards)
     return spectra.power_spectrum(da, engine=engine, **ps_kwargs)
+
+
+def sharded_cross_spectrum(da1: LabeledArray, da2: LabeledArray,
+                           mesh: Mesh, dim_shards: dict[str, str],
+                           **cs_kwargs) -> LabeledArray:
+    """:func:`xrft_tpu.cross_spectrum` over a device mesh (both inputs
+    share the same layout)."""
+    da1 = _prepare(da1, mesh, dim_shards, cs_kwargs)
+    da2 = _prepare(da2, mesh, dim_shards, dict(cs_kwargs))
+    engine = _make_engine(mesh, da1.dims, dim_shards)
+    return spectra.cross_spectrum(da1, da2, engine=engine, **cs_kwargs)
+
+
+def sharded_isotropic_power_spectrum(da: LabeledArray, mesh: Mesh,
+                                     dim_shards: dict[str, str],
+                                     **iso_kwargs) -> LabeledArray:
+    """:func:`xrft_tpu.isotropic_power_spectrum` over a device mesh.
+
+    The PSD runs through the pencil engine; the azimuthal one-hot
+    aggregation contracts the (possibly sharded) flattened spectral dims,
+    with GSPMD inserting the reduction collectives."""
+    from ..isotropic import isotropic_power_spectrum
+
+    da = _prepare(da, mesh, dim_shards, iso_kwargs)
+    engine = _make_engine(mesh, da.dims, dim_shards)
+    return isotropic_power_spectrum(da, engine=engine, **iso_kwargs)

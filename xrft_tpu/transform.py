@@ -179,15 +179,14 @@ def fft(
 
     if engine == "hp":
         # high-precision path: df64 elementwise + int8-limb MXU DFT
-        # (~1e-13 on-chip; see highprec.fft_hp)
-        if chunks_to_segments:
-            raise NotImplementedError(
-                "engine='hp' does not support chunks_to_segments yet"
-            )
+        # (~1e-13 on-chip; see highprec.fft_hp).  Segmenting is a pure
+        # metadata reshape of the (still low-precision-representable)
+        # input, so it happens before the df64 promotion.
         from .highprec import fft_hp
 
         return fft_hp(da, spacing_tol, dim, real_dim, shift, detrend,
-                      window, true_phase, true_amplitude, prefix)
+                      window, true_phase, true_amplitude, prefix,
+                      chunks_to_segments=chunks_to_segments)
 
     if real_dim is not None:
         if real_dim not in da.dims:
