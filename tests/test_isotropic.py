@@ -165,3 +165,37 @@ def test_fit_loglog_exact():
     y_fit, a, b = fit_loglog(x, y)
     npt.assert_allclose(a, -2.0, atol=1e-12)
     npt.assert_allclose(y_fit, y, rtol=1e-12)
+
+
+def test_binned_sum_large_grid_path():
+    """The large-grid (sorted prefix-difference) binning path matches the
+    one-hot matmul path exactly; it activates when points*bins exceeds
+    ONEHOT_MAX_ELEMENTS (2048^2-scale grids, where the dense one-hot
+    constant would be gigabytes)."""
+    import jax.numpy as jnp
+
+    from xrft_tpu.ops import binning, carray
+
+    rng = np.random.RandomState(0)
+    k = np.fft.fftshift(np.fft.fftfreq(96, 1.0))
+    freq_r = np.sqrt(k[:, None] ** 2 + k[None, :] ** 2)
+    codes, nbins = binning.cut_codes(freq_r, 24)
+    vals = rng.randn(3, 96 * 96).astype(np.float32)
+
+    ref = binning.binned_sum(jnp.asarray(vals), codes, nbins)
+    old = binning.ONEHOT_MAX_ELEMENTS
+    binning.ONEHOT_MAX_ELEMENTS = 1  # force the large-grid path
+    try:
+        got = binning.binned_sum(jnp.asarray(vals), codes, nbins)
+        # complex pair too
+        pair = carray.ComplexPair(jnp.asarray(vals), jnp.asarray(vals[::-1]))
+        gp = binning.binned_sum(pair, codes, nbins)
+    finally:
+        binning.ONEHOT_MAX_ELEMENTS = old
+    npt.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-6,
+                        atol=1e-4)
+    rp = binning.binned_sum(carray.ComplexPair(jnp.asarray(vals),
+                                               jnp.asarray(vals[::-1])),
+                            codes, nbins)
+    npt.assert_allclose(carray.to_numpy(gp), carray.to_numpy(rp), rtol=2e-6,
+                        atol=1e-4)

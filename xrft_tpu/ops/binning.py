@@ -56,17 +56,66 @@ def _onehot(codes: np.ndarray, nbins: int, rdtype) -> np.ndarray:
     return oh
 
 
-def binned_sum(data, codes: np.ndarray, nbins: int):
-    """Per-bin sum over the trailing (flattened-core) axis of `data` via a
-    one-hot MXU matmul; supports real arrays, native complex, and
-    ComplexPairs.  data shape (..., n_points) -> (..., nbins)."""
+# above this many one-hot entries (points * bins; 64M f32 = 256 MB) the
+# dense-matmul constant gets prohibitively large — 2048^2 x 512 bins would
+# be ~8.6 GB — so large grids switch to a static-sort + boundary-difference
+# formulation with O(points) memory
+ONEHOT_MAX_ELEMENTS = 64 * 1024 * 1024
 
-    def mm(x):
-        rdtype = np.float64 if np.dtype(x.dtype) in (
-            np.dtype(np.float64),
-        ) else np.float32
-        oh = jnp.asarray(_onehot(codes, nbins, rdtype))
-        return jnp.einsum("...p,pb->...b", x, oh, precision=_HIGHEST)
+
+def _sorted_plan(codes: np.ndarray, nbins: int):
+    """Host plan for the large-grid path: a stable argsort permutation
+    placing same-bin points contiguously (dropped, code -1, points first)
+    and the per-bin segment boundaries."""
+    order = np.argsort(codes, kind="stable")
+    sorted_codes = codes[order]
+    starts = np.searchsorted(sorted_codes, np.arange(nbins), side="left")
+    ends = np.searchsorted(sorted_codes, np.arange(nbins), side="right")
+    return order, starts, ends
+
+
+def binned_sum(data, codes: np.ndarray, nbins: int):
+    """Per-bin sum over the trailing (flattened-core) axis of `data`;
+    supports real arrays, native complex, and ComplexPairs.
+    data shape (..., n_points) -> (..., nbins).
+
+    Small grids: one-hot MXU matmul (dense, scatter-free, batched for
+    free).  Large grids: gather by a static sort permutation (same-bin
+    points contiguous), then per-bin sums as differences of a blocked
+    pairwise prefix sum — still scatter-free, O(points) memory."""
+    if codes.size * nbins <= ONEHOT_MAX_ELEMENTS:
+        def mm(x):
+            rdtype = np.float64 if np.dtype(x.dtype) in (
+                np.dtype(np.float64),
+            ) else np.float32
+            oh = jnp.asarray(_onehot(codes, nbins, rdtype))
+            return jnp.einsum("...p,pb->...b", x, oh, precision=_HIGHEST)
+    else:
+        order, starts, ends = _sorted_plan(codes, nbins)
+        oj = jnp.asarray(order)
+        # pairwise-accuracy prefix: blocked two-level cumsum (the naive
+        # running cumsum of ~4M f32 values would lose ~3 digits)
+        blk = 1024
+        npts = codes.size
+        pad = (-npts) % blk
+
+        def mm(x):
+            xs = jnp.take(x, oj, axis=-1)
+            if pad:
+                widths = [(0, 0)] * (x.ndim - 1) + [(0, pad)]
+                xs = jnp.pad(xs, widths)
+            xb = xs.reshape(xs.shape[:-1] + (-1, blk))
+            within = jnp.cumsum(xb.astype(jnp.float32), axis=-1)
+            block_tot = within[..., -1]
+            block_off = jnp.cumsum(block_tot, axis=-1) - block_tot
+            prefix = (within + block_off[..., None]).reshape(
+                xs.shape[:-1] + (-1,))
+            # csum[i] = sum of sorted[:i+1]; bin b = csum[end-1]-csum[start-1]
+            zeros = jnp.zeros(prefix.shape[:-1] + (1,), prefix.dtype)
+            csum0 = jnp.concatenate([zeros, prefix], axis=-1)
+            se = jnp.take(csum0, jnp.asarray(ends), axis=-1)
+            ss = jnp.take(csum0, jnp.asarray(starts), axis=-1)
+            return (se - ss).astype(x.dtype)
 
     if carray.is_pair(data):
         return carray.ComplexPair(mm(data.re), mm(data.im))
