@@ -103,6 +103,25 @@ for i in range(24):
         true_phase=bool(rng.rand() < 0.5),
         true_amplitude=bool(rng.rand() < 0.5),
         decreasing=bool(rng.rand() < 0.3),
+        engine=[None, "matmul", "hp"][rng.randint(3)],
+    ))
+
+# larger 1-D/2-D cases exercising the stacked engine's multi-level radix
+# plans (sizes > direct_dft_max) and the hp four-step composition
+for i, shape in enumerate([(384,), (512,), (6, 256), (192, 20)]):
+    ndim = len(shape)
+    CASES.append(dict(
+        seed=100 + i,
+        shape=shape,
+        tdims=list(range(ndim)),
+        real=bool(i % 2),
+        shift=bool(i % 2 == 0),
+        detrend=[None, "linear"][i % 2],
+        window=[None, "hann"][(i + 1) % 2],
+        true_phase=True,
+        true_amplitude=True,
+        decreasing=False,
+        engine=["matmul", "hp"][i % 2],
     ))
 
 
@@ -136,7 +155,7 @@ def test_fft_fuzz_vs_numpy_reference(case, mode):
         true_amplitude=case["true_amplitude"],
     )
     with complex_mode(mode):
-        got = fft(da, real_dim=real_dim, **kwargs)
+        got = fft(da, real_dim=real_dim, engine=case.get("engine"), **kwargs)
 
     # reference model: real axis moved last like the library does
     if real_dim is not None:
@@ -161,4 +180,8 @@ def test_fft_fuzz_vs_numpy_reference(case, mode):
                                 case["true_amplitude"])
 
     scale = max(np.abs(F).max(), 1e-12)
-    npt.assert_allclose(got.values / scale, F / scale, atol=5e-11)
+    # hp on the CPU test backend: XLA:CPU FMA contraction degrades the
+    # df64 elementwise tails to ~1e-11 (the int8 DFT itself stays exact;
+    # strict bounds are pinned on-chip in scripts/chip_checks.py)
+    atol = 2e-10 if case.get("engine") == "hp" else 5e-11
+    npt.assert_allclose(got.values / scale, F / scale, atol=atol)

@@ -61,13 +61,24 @@ def as_quad(x) -> tuple:
         ih, il = df64.split_f64_np(np.ascontiguousarray(x.imag))
         return tuple(jnp.asarray(v) for v in (rh, rl, ih, il))
     xr = jnp.asarray(x)
+
+    def dev_split(v):
+        """Exact (hi, lo) split of a device float64 array (x64 backends
+        only; the TPU never holds f64 device arrays)."""
+        if np.dtype(v.dtype) == np.dtype(np.float64):
+            hi = v.astype(jnp.float32)
+            lo = (v - hi.astype(jnp.float64)).astype(jnp.float32)
+            return hi, lo
+        hi = v.astype(jnp.float32)
+        return hi, jnp.zeros_like(hi)
+
     if np.dtype(xr.dtype).kind == "c":
-        rh = jnp.real(xr).astype(jnp.float32)
-        ih = jnp.imag(xr).astype(jnp.float32)
-        return (rh, jnp.zeros_like(rh), ih, jnp.zeros_like(ih))
-    xr = xr.astype(jnp.float32)
-    z = jnp.zeros_like(xr)
-    return (xr, z, z, z)
+        rh, rl = dev_split(jnp.real(xr))
+        ih, il = dev_split(jnp.imag(xr))
+        return (rh, rl, ih, il)
+    rh, rl = dev_split(xr)
+    z = jnp.zeros_like(rh)
+    return (rh, rl, z, z)
 
 
 def _split_const(v) -> tuple[np.ndarray, np.ndarray]:
