@@ -270,3 +270,28 @@ def test_sharded_isotropic_power_spectrum(mesh24):
         da, mesh24, {"b": "p1", "y": "p2"}, dim=["y", "x"], truncate=True)
     npt.assert_allclose(carray.to_numpy(dist.data),
                         carray.to_numpy(local.data), atol=1e-10)
+
+
+@pytest.mark.parametrize("kind", ["fft", "ifft", "rfft", "irfft"])
+def test_pencil_with_stacked_engine(mesh8, kind):
+    """The stacked matmul engine (the TPU production path) inside
+    shard_map: pencil local transforms forced through engine='matmul'."""
+    from xrft_tpu.config import fft_engine
+
+    rng = np.random.RandomState(12)
+    if kind in ("fft", "ifft"):
+        x = rng.randn(32, 64) + 1j * rng.randn(32, 64)
+        ref = np.fft.fftn(x) if kind == "fft" else np.fft.ifftn(x)
+        xin = np.asarray(x)
+    elif kind == "rfft":
+        x = rng.randn(32, 64)
+        ref = np.fft.rfftn(x)
+        xin = np.asarray(x)
+    else:
+        xr = rng.randn(32, 64)
+        spec = np.fft.rfftn(xr)
+        ref = xr
+        xin = spec.astype(np.complex128)
+    with fft_engine("matmul"):
+        got = pencil_fftn(xin, [0, 1], mesh8, {0: "p"}, kind)
+    npt.assert_allclose(carray.to_numpy(got), ref, atol=1e-9)
