@@ -31,7 +31,7 @@ import numpy as np
 from jax import lax
 
 from . import df64
-from .carray import CDF64, DF64, ComplexPair, is_pair
+from .carray import CDF64, DF64, is_pair
 
 __all__ = [
     "as_quad", "dsum", "detrend_quad", "window_quad", "masked_bin_sums",

@@ -58,7 +58,6 @@ import numpy as np
 from jax import lax
 
 from ..config import config
-from . import carray
 from .carray import ComplexPair, as_pair, is_pair
 from .matmul_fft import _dft_matrix_np, _twiddle_np, _PRECISIONS
 

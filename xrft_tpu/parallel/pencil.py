@@ -44,7 +44,6 @@ collectives and FFT matmuls see only real f32 arrays.
 from __future__ import annotations
 
 import jax
-import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
 from ..config import config

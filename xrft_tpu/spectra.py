@@ -176,7 +176,6 @@ def _power_spectrum_via_rfft(da, dim, half_dim, kwargs, prescale=None):
     if sharded:
         # reconstruct the pencil forward chain's output layout so the
         # mirror gathers can declare their (unchanged) output sharding
-        import jax as _jax
         from jax.sharding import NamedSharding, PartitionSpec as _P
 
         from .parallel.pencil import plan_forward_layout
