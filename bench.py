@@ -143,15 +143,33 @@ def main():
         extras["roofline_measured_pct"] = round(100 * bw_ms / device_ms, 1)
 
     # ---- BASELINE configs 3 & 4 timings (VERDICT round-1 item 5).
-    # One compile each: single-call wall clock minus the measured null-call
-    # (RPC) overhead; coarser than the loop-difference method used for the
-    # headline number, but keeps total bench compile time bounded.
+    # These workloads are ~1 ms on device, far below the ~27 ms RPC noise
+    # of a single call, so each runs as ONE on-device fori_loop of K
+    # serially-dependent iterations: value = (t_loop - t_null) / K.  One
+    # compile per config keeps total bench compile time bounded.
     import jax.numpy as jnp
 
     null_f = jax.jit(lambda v: jnp.sum(v[0, :8]))
     nx = jnp.zeros((8, 64), np.float32)
     float(null_f(nx))
     t_null = min(_wall(null_f, nx) for _ in range(5))
+
+    KC = 16
+
+    def loop_per_iter(step, x_init):
+        def body(_, carry):
+            s, xx = carry
+            s2 = step(xx)
+            return s + s2, xx + s2 * 1e-38
+
+        def run(xx):
+            s, _ = jax.lax.fori_loop(0, KC, body, (jnp.float32(0.0), xx))
+            return s
+
+        g = jax.jit(run)
+        float(g(x_init))
+        t = min(_wall(g, x_init) for _ in range(3))
+        return max((t - t_null) / KC, 0.0)
 
     # config 3: isotropic power spectrum, 512^2 (one-hot-matmul binning;
     # BASELINE config 3's size — the one-hot constant is points x bins,
@@ -161,11 +179,12 @@ def main():
                        dims=("y", "x"),
                        coords={"y": np.arange(N3) * 1.0,
                                "x": np.arange(N3) * 1.0})
-    f3 = jax.jit(lambda d: jnp.sum(xrft_tpu.isotropic_power_spectrum(
-        d, dim=["y", "x"], truncate=True).data))
-    float(f3(da3))
-    t3 = min(_wall(f3, da3) for _ in range(3))
-    extras["config3_iso_ps_512_ms"] = round(max(t3 - t_null, 0.0), 2)
+    def step3(xx):
+        return jnp.sum(xrft_tpu.isotropic_power_spectrum(
+            da3.copy(data=xx), dim=["y", "x"], truncate=True).data)
+
+    extras["config3_iso_ps_512_ms"] = round(
+        loop_per_iter(step3, da3.data), 2)
 
     # config 4: cross_spectrum, rfft over time, 64x512x512
     B4, N4 = 64, 512
@@ -177,17 +196,15 @@ def main():
     da4b = da4a.copy(data=jnp.asarray(
         rng.randn(B4, N4, N4).astype(np.float32)))
 
-    def _cs(d1, d2):
+    def step4(xx):
         from xrft_tpu.ops import carray as _c
 
-        cs = xrft_tpu.cross_spectrum(d1, d2, dim=["time"], real_dim="time")
+        cs = xrft_tpu.cross_spectrum(da4a.copy(data=xx), da4b,
+                                     dim=["time"], real_dim="time")
         return jnp.sum(_c.real(cs.data))
 
-    f4 = jax.jit(_cs)
-    float(f4(da4a, da4b))
-    t4 = min(_wall(f4, da4a, da4b) for _ in range(3))
     extras["config4_cross_spectrum_64x512x512_ms"] = round(
-        max(t4 - t_null, 0.0), 2)
+        loop_per_iter(step4, da4a.data), 2)
 
     print(json.dumps({
         "metric": f"windowed+detrended power_spectrum {B}x{N}x{N} f32, "
