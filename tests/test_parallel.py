@@ -295,3 +295,28 @@ def test_pencil_with_stacked_engine(mesh8, kind):
     with fft_engine("matmul"):
         got = pencil_fftn(xin, [0, 1], mesh8, {0: "p"}, kind)
     npt.assert_allclose(carray.to_numpy(got), ref, atol=1e-9)
+
+
+@pytest.mark.parametrize("kind", ["fft", "ifft", "rfft", "irfft"])
+def test_pencil_hp(mesh8, kind):
+    """float64-grade distributed transforms (precision='hp'): df64 quads
+    move through the pencil chain, exact int8-limb local DFTs — f64
+    accuracy AND sharded transform dims on f32 hardware."""
+    rng = np.random.RandomState(13)
+    x = rng.randn(32, 64)
+    if kind in ("fft", "ifft"):
+        xin = (x + 1j * rng.randn(32, 64)).astype(np.complex128)
+        ref = np.fft.fftn(xin) if kind == "fft" else np.fft.ifftn(xin)
+    elif kind == "rfft":
+        xin = x
+        ref = np.fft.rfftn(x)
+    else:
+        xin = np.fft.rfftn(x)
+        ref = x
+    got = pencil_fftn(np.asarray(xin), [0, 1], mesh8, {0: "p"}, kind,
+                      precision="hp")
+    from xrft_tpu.ops.carray import CDF64, DF64
+
+    assert isinstance(got, DF64 if kind == "irfft" else CDF64)
+    scale = max(np.abs(ref).max(), 1e-12)
+    assert np.abs(np.asarray(got) - ref).max() / scale < 1e-10

@@ -488,6 +488,14 @@ def pad(x, pad_width, **kw):
 
 
 def concatenate(xs, axis):
+    if any(isinstance(x, CDF64) for x in xs):
+        return CDF64(*(jnp.concatenate([x.quad[i] for x in xs], axis=axis)
+                       for i in range(4)))
+    if any(isinstance(x, DF64) for x in xs):
+        return DF64(
+            jnp.concatenate([x.hi for x in xs], axis=axis),
+            jnp.concatenate([x.lo for x in xs], axis=axis),
+        )
     if any(is_pair(x) for x in xs):
         xs = [as_pair(x) for x in xs]
         return ComplexPair(

@@ -53,32 +53,24 @@ __all__ = ["pencil_fftn", "plan_forward_layout"]
 
 
 def _all_to_all(x, mesh_axis, split_axis, concat_axis):
-    fn = lambda v: jax.lax.all_to_all(
+    return carray._map(x, lambda v: jax.lax.all_to_all(
         v, mesh_axis, split_axis=split_axis, concat_axis=concat_axis,
         tiled=True,
-    )
-    if carray.is_pair(x):
-        return carray.ComplexPair(fn(x.re), fn(x.im))
-    return fn(x)
+    ))
 
 
 def _concat(parts, axis):
-    if carray.is_pair(parts[0]):
-        return carray.ComplexPair(
-            jax.numpy.concatenate([p.re for p in parts], axis=axis),
-            jax.numpy.concatenate([p.im for p in parts], axis=axis),
-        )
-    return jax.numpy.concatenate(parts, axis=axis)
+    return carray.concatenate(parts, axis=axis)
 
 
 def _split_chunks(x, axis, k):
-    n = x.shape[axis] if not carray.is_pair(x) else x.re.shape[axis]
+    n = x.shape[axis]
     sizes = [n // k + (1 if i < n % k else 0) for i in range(k)]
     out, start = [], 0
     for s in sizes:
         key = tuple(slice(start, start + s) if i == axis else slice(None)
                     for i in range(x.ndim))
-        out.append(carray.getitem(x, key) if carray.is_pair(x) else x[key])
+        out.append(carray.getitem(x, key))
         start += s
     return out
 
@@ -138,6 +130,7 @@ def pencil_fftn(
     mesh: Mesh,
     axis_sharding: dict[int, str | None],
     kind: str = "fft",
+    precision: str | None = None,
 ):
     """Distributed N-D FFT of a (globally-viewed) array.
 
@@ -154,7 +147,20 @@ def pencil_fftn(
         roundtrip through this module is then collective-minimal; other
         inputs are resharded implicitly by GSPMD).
     kind : 'fft' | 'ifft' | 'rfft' | 'irfft'
+    precision : None (backend f32 engines) or "hp" — float64-grade
+        distributed transforms: data moves as double-word (df64) CDF64
+        quads through the same pencil chain and the local transforms run
+        on the exact int8-limb MXU DFT.  A capability with no reference
+        analogue squared: f64-grade *and* transform-dim-sharded on f32
+        hardware.
     """
+    hp = precision == "hp"
+    if hp:
+        from ..ops.carray import CDF64
+        from ..ops.hp import as_quad
+
+        if not isinstance(x, CDF64):
+            x = CDF64(*as_quad(x))
     ndim = x.ndim
     axes = [a % ndim for a in axes]
     axis_sharding = {a % ndim: m for a, m in axis_sharding.items() if m}
@@ -193,6 +199,11 @@ def pencil_fftn(
         out = xl
 
         def fft_local(v, a):
+            if hp:
+                from ..ops.carray import CDF64
+                from ..ops.int8_dft import int8_fft_nd
+
+                return CDF64(*int8_fft_nd(v.quad, [a], core_kind))
             core = fft_core.fftn if core_kind == "fft" else fft_core.ifftn
             return core(v, [a])
 
@@ -256,6 +267,11 @@ def pencil_fftn(
         if kind == "rfft":
             for step in order:
                 out = run_step(out, step)
+            if hp:
+                from ..ops.carray import CDF64
+                from ..ops.int8_dft import int8_fft_nd
+
+                return CDF64(*int8_fft_nd(out.quad, [ndim - 1], "rfft"))
             n = out.shape[-1]
             out = fft_core.fftn(out, [ndim - 1])
             return out[..., : n // 2 + 1]
@@ -266,6 +282,11 @@ def pencil_fftn(
             # inverse FFT (the real axis is unsharded by contract)
             for step in order:
                 out = run_step(out, step)
+            if hp:
+                from ..ops.carray import DF64
+                from ..ops.int8_dft import int8_fft_nd
+
+                return DF64(*int8_fft_nd(out.quad, [ndim - 1], "irfft"))
             tail = carray.conj(
                 carray.getitem(out, (Ellipsis, slice(-2, 0, -1)))
             )
@@ -276,7 +297,13 @@ def pencil_fftn(
             out = run_step(out, step)
         return out
 
-    if carray.is_pair(x):
+    if hp:
+        from ..ops.carray import CDF64, DF64
+
+        in_specs = CDF64(spec_in, spec_in, spec_in, spec_in)
+        out_specs = DF64(spec_out, spec_out) if kind == "irfft" \
+            else CDF64(spec_out, spec_out, spec_out, spec_out)
+    elif carray.is_pair(x):
         in_specs = carray.ComplexPair(spec_in, spec_in)
         out_specs = carray.ComplexPair(spec_out, spec_out) \
             if kind != "irfft" else spec_out
@@ -286,8 +313,11 @@ def pencil_fftn(
         if kind in ("fft", "ifft", "rfft") and fft_core.use_split_complex():
             out_specs = carray.ComplexPair(spec_out, spec_out)
 
-    f = jax.shard_map(local_fn, mesh=mesh, in_specs=(in_specs,),
-                      out_specs=out_specs, check_vma=False)
+    # jit the shard_map: eager dispatch would execute the local program
+    # op-by-op across the mesh (pathological for the many-op hp path);
+    # under an outer jit this inlines
+    f = jax.jit(jax.shard_map(local_fn, mesh=mesh, in_specs=(in_specs,),
+                              out_specs=out_specs, check_vma=False))
     return f(x)
 
 
