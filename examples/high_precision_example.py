@@ -8,6 +8,11 @@ the same code meets 1e-12 everywhere.
 
 import numpy as np
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import xrft_tpu
 from xrft_tpu import LabeledArray
 

@@ -10,6 +10,11 @@ parallelism; shard the time dim over a mesh for multi-chip).
 
 import numpy as np
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import xrft_tpu
 from xrft_tpu import LabeledArray
 

@@ -8,6 +8,11 @@ grids, window corrections recovering signal RMS and peak amplitude, and
 
 import numpy as np
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import xrft_tpu
 from xrft_tpu import LabeledArray
 

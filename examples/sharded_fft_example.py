@@ -13,6 +13,11 @@ run with 8 emulated devices via:
 import jax
 import numpy as np
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import xrft_tpu
 from xrft_tpu import LabeledArray
 from xrft_tpu.parallel import make_mesh, sharded_power_spectrum
