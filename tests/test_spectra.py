@@ -268,3 +268,42 @@ def test_keep_multidim_coords(func):
     assert "lon" in ps.coords
     npt.assert_array_equal(ps.coords["lon"].values, lon)
     assert "y" in ps.coords and "x" in ps.coords
+
+
+def test_cross_spectrum_one_sided_fast_path_parity():
+    """cross_spectrum of two real inputs takes the Hermitian one-sided
+    path (C(-k) = conj(C(k)) survives the true_phase factors); parity vs
+    the two-sided path forced via complex-dtype inputs."""
+    rng = np.random.RandomState(31)
+    N = 24
+    x = np.arange(N) * 0.5 + 3.0  # nonzero lag exercises the phases
+    for kw in (
+        dict(),
+        dict(window="hann", scaling="spectrum"),
+        dict(window="hann", window_correction=True),
+        dict(detrend="linear"),
+        dict(true_phase=False, shift=False),
+        dict(scaling="false_density"),
+    ):
+        v1 = rng.randn(N, N)
+        v2 = rng.randn(N, N)
+        mk = lambda v: LabeledArray(v, dims=["y", "x"],
+                                    coords={"y": x, "x": x})
+        fast = cross_spectrum(mk(v1), mk(v2), dim=["y", "x"], **kw)
+        slow = cross_spectrum(mk(v1.astype(np.complex128)),
+                              mk(v2.astype(np.complex128)),
+                              dim=["y", "x"], **kw)
+        scale = np.abs(slow.values).max()
+        npt.assert_allclose(fast.values, slow.values, atol=1e-11 * scale)
+        npt.assert_allclose(fast.coords["freq_x"].values,
+                            slow.coords["freq_x"].values)
+
+    # decreasing coordinate flips through the fast path too
+    v1, v2 = rng.randn(N, N), rng.randn(N, N)
+    mkd = lambda v: LabeledArray(v, dims=["y", "x"],
+                                 coords={"y": x[::-1].copy(), "x": x})
+    fast = cross_spectrum(mkd(v1), mkd(v2), dim=["y", "x"])
+    slow = cross_spectrum(mkd(v1.astype(np.complex128)),
+                          mkd(v2.astype(np.complex128)), dim=["y", "x"])
+    scale = np.abs(slow.values).max()
+    npt.assert_allclose(fast.values, slow.values, atol=1e-11 * scale)

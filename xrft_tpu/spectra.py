@@ -121,34 +121,20 @@ def _norm_dim_list(da, dim):
     return list(dim)
 
 
-def _power_spectrum_via_rfft(da, dim, half_dim, kwargs, prescale=None):
-    """|F|^2 on the full grid, computed from the one-sided transform of
-    real input and mirrored via Hermitian symmetry:
+def _hermitian_expand(half, daft, da, dims, half_dim, kwargs, shift,
+                      conj_mirror=False):
+    """Expand a one-sided array (PSD or cross spectrum) over the half axis
+    to the full two-sided grid via Hermitian symmetry, with the shift
+    conventions already applied on the non-half axes.
 
-        |F[k_o, k]|^2 == |F[-k_o mod n_o, n - k]|^2
+        X[k_o, k] == conj(X[-k_o mod n_o, n - k])
 
-    Saves ~half the transform work on every non-half axis plus half the
-    |.|^2 pass.  The requested fftshift on the non-half axes rides the
-    engine's absorbed output permutation (free); the half-axis expansion +
-    its shift is one static-gather concat, with all mirror/shift index
-    maps computed on host.  ``prescale`` (density/window-correction
-    scalars) folds into the |.|^2 pass instead of a full multiply pass.
+    (the conjugation is a no-op for real PSDs).  Index maps are host
+    constants; locally the mirror is reverse/roll HLOs, on sharded runs
+    explicit-out_sharding gathers.  Returns the full LabeledArray with
+    rebuilt two-sided frequency coordinates.
     """
-    dims = _norm_dim_list(da, dim)
-    shift = kwargs.pop("shift", True)
     n_full = da.sizes[half_dim]
-    # true_amplitude's prod(dx) multiply also folds into the |.|^2 pass
-    # (|amp*F|^2 = amp^2 |F|^2) instead of costing a full memory pass
-    kwargs["true_amplitude"] = False
-    amp2 = float(np.prod([
-        ce.get_coordinate_spacing(_dim_coord(da, d),
-                                  kwargs.get("spacing_tol", 1e-3))
-        for d in dims])) ** 2
-    daft = fft(da, dim=dims, real_dim=half_dim, shift=shift,
-               _shift_nonreal=True, **kwargs)
-    ps_half = carray.abs2(daft.data)
-    ps_half = ps_half * (amp2 if prescale is None else amp2 * prescale)
-
     fd = {d: ce.freq_dim_name(d, kwargs.get("prefix", "freq_")) for d in dims}
     half_f = fd[half_dim]
     ax_half = daft.get_axis_num(half_f)
@@ -206,25 +192,26 @@ def _power_spectrum_via_rfft(da, dim, half_dim, kwargs, prescale=None):
     for i in range(1, n + 1):
         if i == n or mirror[i] != mirror[start]:
             cols = src[start:i]
-            ndim = ps_half.re.ndim if carray.is_pair(ps_half) \
-                else ps_half.ndim
+            ndim = half.ndim
             key = [slice(None)] * ndim
             if mirror[start]:
                 # strictly descending consecutive columns: slice + reverse
                 key[ax_half] = slice(int(cols[-1]), int(cols[0]) + 1)
-                piece = carray.flip(carray.getitem(ps_half, tuple(key)),
+                piece = carray.flip(carray.getitem(half, tuple(key)),
                                     [ax_half])
-                for a, s in rev_rolls.items():
+                for a, sroll in rev_rolls.items():
                     if sharded:
                         piece = carray.take_with_sharding(
                             piece, jnp.asarray(perms[a]), a, ps_sharding)
                     else:
                         piece = carray.flip(piece, [a])
-                        if s:
-                            piece = carray.roll(piece, s, a)
+                        if sroll:
+                            piece = carray.roll(piece, sroll, a)
+                if conj_mirror:
+                    piece = carray.conj(piece)
             else:
                 key[ax_half] = slice(int(cols[0]), int(cols[-1]) + 1)
-                piece = carray.getitem(ps_half, tuple(key))
+                piece = carray.getitem(half, tuple(key))
             pieces.append(piece)
             start = i
     full = pieces[0] if len(pieces) == 1 \
@@ -245,6 +232,64 @@ def _power_spectrum_via_rfft(da, dim, half_dim, kwargs, prescale=None):
                                   fd[d])
     return LabeledArray(full, dims=daft.dims, coords=out_coords,
                         name=da.name)
+
+
+def _power_spectrum_via_rfft(da, dim, half_dim, kwargs, prescale=None):
+    """|F|^2 on the full grid, computed from the one-sided transform of
+    real input and mirrored via Hermitian symmetry:
+
+        |F[k_o, k]|^2 == |F[-k_o mod n_o, n - k]|^2
+
+    Saves ~half the transform work on every non-half axis plus half the
+    |.|^2 pass.  The requested fftshift on the non-half axes rides the
+    engine's absorbed output permutation (free); the half-axis expansion +
+    its shift is one static-gather concat, with all mirror/shift index
+    maps computed on host.  ``prescale`` (density/window-correction
+    scalars) folds into the |.|^2 pass instead of a full multiply pass.
+    """
+    dims = _norm_dim_list(da, dim)
+    shift = kwargs.pop("shift", True)
+    n_full = da.sizes[half_dim]
+    # true_amplitude's prod(dx) multiply also folds into the |.|^2 pass
+    # (|amp*F|^2 = amp^2 |F|^2) instead of costing a full memory pass
+    kwargs["true_amplitude"] = False
+    amp2 = float(np.prod([
+        ce.get_coordinate_spacing(_dim_coord(da, d),
+                                  kwargs.get("spacing_tol", 1e-3))
+        for d in dims])) ** 2
+    daft = fft(da, dim=dims, real_dim=half_dim, shift=shift,
+               _shift_nonreal=True, **kwargs)
+    ps_half = carray.abs2(daft.data)
+    ps_half = ps_half * (amp2 if prescale is None else amp2 * prescale)
+
+    return _hermitian_expand(ps_half, daft, da, dims, half_dim, kwargs,
+                             shift, conj_mirror=False)
+
+
+def _cross_spectrum_via_rfft(da1, da2, dim, half_dim, kwargs, prescale,
+                             true_phase):
+    """One-sided fast path for the cross spectrum of two REAL inputs:
+    C(-k) = conj(C(k)) holds for F1*conj(F2) even with true_phase factors
+    (conj(e^{-i\theta}) = e^{+i\theta}), so both transforms run as rffts
+    and the full grid is the conjugated Hermitian expansion — ~half the
+    transform work on every non-half axis."""
+    dims = _norm_dim_list(da1, dim)
+    shift = kwargs.pop("shift", True)
+    kwargs["true_amplitude"] = False
+    amp2 = float(np.prod([
+        ce.get_coordinate_spacing(_dim_coord(da1, d),
+                                  kwargs.get("spacing_tol", 1e-3))
+        for d in dims])) ** 2
+    daft1 = fft(da1, dim=dims, real_dim=half_dim, shift=shift,
+                _shift_nonreal=True, true_phase=true_phase, **kwargs)
+    daft2 = fft(da2, dim=dims, real_dim=half_dim, shift=shift,
+                _shift_nonreal=True, true_phase=true_phase, **kwargs)
+    cs_half = carray.multiply(daft1.data, carray.conj(daft2.data))
+    cs_half = cs_half * (amp2 if prescale is None else amp2 * prescale)
+    out = _hermitian_expand(cs_half, daft1, da1, dims, half_dim, kwargs,
+                            shift, conj_mirror=True)
+    out.name = None
+    return out
 
 
 def power_spectrum(
@@ -348,6 +393,30 @@ def cross_spectrum(
                                  scaling=scaling,
                                  window_correction=window_correction,
                                  true_phase=true_phase, **kwargs)
+
+    if tuple(da1.dims) != tuple(da2.dims):
+        raise ValueError("The two datasets have different dimensions")
+
+    # Hermitian one-sided fast path for two real inputs (the symmetry
+    # survives the phase factors: conj(e^{-i t}) = e^{+i t})
+    half = _half_spectrum_dim(da1, dim, real_dim, kwargs)
+    if half is not None and _half_spectrum_dim(
+            da2, dim, real_dim, kwargs) == half:
+        prescale = None
+        if scaling != "false_density":
+            pre = 1.0
+            if window_correction:
+                pre = 1.0 / _window_correction_factor(
+                    da1, dim, scaling, kwargs.get("window")).data
+            fs = 1.0
+            for d in _norm_dim_list(da1, dim):
+                delta = ce.get_coordinate_spacing(
+                    _dim_coord(da1, d), kwargs.get("spacing_tol", 1e-3))
+                fs *= 1.0 / (da1.sizes[d] * delta)
+            prescale = pre * (fs if scaling == "density" else fs**2)
+        kwargs.pop("true_amplitude", None)
+        return _cross_spectrum_via_rfft(da1, da2, dim, half, kwargs,
+                                        prescale, true_phase)
 
     daft1 = fft(da1, dim=dim, real_dim=real_dim, true_phase=true_phase, **kwargs)
     daft2 = fft(da2, dim=dim, real_dim=real_dim, true_phase=true_phase, **kwargs)
