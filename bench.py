@@ -154,7 +154,9 @@ def main():
     float(null_f(nx))
     t_null = min(_wall(null_f, nx) for _ in range(5))
 
-    KC = 16
+    # 64 iterations puts the loop's device time well above the ~27 ms RPC
+    # noise floor (16 was measured to sometimes vanish under it)
+    KC = 64
 
     def loop_per_iter(step, x_init):
         def body(_, carry):
@@ -168,7 +170,7 @@ def main():
 
         g = jax.jit(run)
         float(g(x_init))
-        t = min(_wall(g, x_init) for _ in range(3))
+        t = min(_wall(g, x_init) for _ in range(4))
         return max((t - t_null) / KC, 0.0)
 
     # config 3: isotropic power spectrum, 512^2 (one-hot-matmul binning;

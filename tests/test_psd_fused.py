@@ -1,0 +1,192 @@
+"""The fused one-sided PSD path (ops/psd_fused.py): raw-layout |F|^2 with
+folded window weights and spectral detrend.
+
+Pins exact agreement (f64, ~1e-12) between the fused route
+(engine='matmul', which takes it whenever applicable) and the generic
+XLA-FFT route for the same reference semantics
+(``/root/reference/xrft/xrft.py:685-750``), across the kwarg grid the
+fusion specializes on, plus the raw-layout engine helpers themselves.
+"""
+
+import numpy as np
+import numpy.testing as npt
+import pytest
+
+import xrft_tpu
+from xrft_tpu import LabeledArray
+from xrft_tpu.ops import carray, psd_fused, stacked_fft
+
+
+def _field(shape, trend=True, seed=0):
+    rng = np.random.RandomState(seed)
+    d = rng.randn(*shape)
+    if trend:
+        # strong hyperplane trend so the spectral-detrend terms matter
+        for ax, n in enumerate(shape):
+            sl = [None] * len(shape)
+            sl[ax] = slice(None)
+            d = d + 0.05 * (ax + 1) * np.arange(n)[tuple(sl)]
+        d = d + 2.0
+    return d
+
+
+def _check(da, dims, rtol=1e-10, applicable=True, **kw):
+    half = dims[-1] if dims else list(da.dims)[-1]
+    shift = kw.get("shift", True)
+    fkw = {k: v for k, v in kw.items()
+           if k not in ("scaling", "window_correction")}
+    fkw.update({"true_phase": False, "true_amplitude": False})
+    assert psd_fused.fused_psd_applicable(
+        da, dims or list(da.dims), half, shift,
+        {**fkw, "engine": "matmul"}) == applicable
+    ref = xrft_tpu.power_spectrum(da, dim=dims, engine="xla", **kw)
+    got = xrft_tpu.power_spectrum(da, dim=dims, engine="matmul", **kw)
+    assert got.dims == ref.dims
+    for c in ref.coords:
+        npt.assert_allclose(got.coords[c].values, ref.coords[c].values,
+                            atol=1e-12)
+    scale = float(np.abs(np.asarray(ref.values)).max())
+    npt.assert_allclose(np.asarray(got.values), np.asarray(ref.values),
+                        atol=rtol * scale)
+    return got
+
+
+@pytest.mark.parametrize("window", [None, "hann", "blackman"])
+@pytest.mark.parametrize("detrend", [None, "constant", "linear"])
+@pytest.mark.parametrize("shift", [True, False])
+def test_fused_psd_parity_grid(window, detrend, shift):
+    da = LabeledArray(
+        _field((3, 64, 48)), dims=("t", "y", "x"),
+        coords={"y": np.arange(64) * 0.5, "x": np.arange(48) * 0.25},
+    )
+    _check(da, ["y", "x"], window=window, detrend=detrend, shift=shift)
+
+
+def test_fused_psd_half_dim_not_trailing():
+    # dim order selects half=y, which sits mid-array: the fused path
+    # transposes it trailing and restores the original order in the
+    # single-epilogue reshape
+    da = LabeledArray(
+        _field((4, 32, 24)), dims=("t", "y", "x"),
+        coords={"y": np.arange(32) * 1.0, "x": np.arange(24) * 2.0},
+    )
+    _check(da, ["x", "y"], window="hann", detrend="linear")
+
+
+def test_fused_psd_3d_transform_and_interleaved_batch():
+    da = LabeledArray(
+        _field((2, 16, 24, 32)), dims=("t", "z", "y", "x"),
+        coords={"z": np.arange(16) * 1.0, "y": np.arange(24) * 0.5,
+                "x": np.arange(32) * 0.25},
+    )
+    _check(da, ["z", "y", "x"], window="hann", detrend="linear")
+    da2 = LabeledArray(
+        _field((3, 40, 5, 36)), dims=("a", "y", "b", "x"),
+        coords={"y": np.arange(40) * 1.0, "x": np.arange(36) * 1.0},
+    )
+    _check(da2, ["y", "x"], window="tukey", detrend="constant")
+
+
+def test_fused_psd_multi_level_plans():
+    # y = 2048 -> (16, 128): exercises the elementwise weight placement
+    # before a multi-level axis and the folded-twiddle final dot
+    da = LabeledArray(
+        _field((2, 2048, 16)), dims=("t", "y", "x"),
+        coords={"y": np.arange(2048) * 1.0, "x": np.arange(16) * 1.0},
+    )
+    _check(da, ["y", "x"], window="hann", detrend="linear")
+
+
+def test_fused_psd_three_level_plan():
+    # 32768 -> (2, 128, 128): the explicit inter-level twiddle pass
+    da = LabeledArray(
+        _field((1, 32768, 8), trend=True), dims=("t", "y", "x"),
+        coords={"y": np.arange(32768) * 1.0, "x": np.arange(8) * 1.0},
+    )
+    _check(da, ["y", "x"], window="hann", detrend="linear")
+
+
+def test_fused_psd_scalings():
+    da = LabeledArray(
+        _field((2, 64, 48)), dims=("t", "y", "x"),
+        coords={"y": np.arange(64) * 1.0, "x": np.arange(48) * 1.0},
+    )
+    _check(da, ["y", "x"], window="hann", detrend="linear",
+           scaling="spectrum", window_correction=True)
+    _check(da, ["y", "x"], window="hann", scaling="false_density")
+
+
+def test_fused_psd_f32_grade(monkeypatch):
+    # the fused route must not degrade f32 accuracy: it agrees with the
+    # unfused one-sided matmul path to ~1e-6 (both sit at the engine's
+    # inherent f32 grade vs the f64 truth)
+    coords = {"y": np.arange(256) * 1.0, "x": np.arange(192) * 1.0}
+    d = _field((2, 256, 192)).astype(np.float32)
+    da = LabeledArray(d, dims=("t", "y", "x"), coords=coords)
+    kw = dict(dim=["y", "x"], window="hann", detrend="linear",
+              engine="matmul")
+    got = xrft_tpu.power_spectrum(da, **kw)
+    monkeypatch.setattr(psd_fused, "fused_psd_applicable",
+                        lambda *a, **k: False)
+    old = xrft_tpu.power_spectrum(da, **kw)
+    scale = float(np.abs(np.asarray(old.values)).max())
+    npt.assert_allclose(np.asarray(got.values), np.asarray(old.values),
+                        atol=1e-5 * scale)
+    ref = xrft_tpu.power_spectrum(
+        LabeledArray(d.astype(np.float64), dims=("t", "y", "x"),
+                     coords=coords),
+        dim=["y", "x"], window="hann", detrend="linear", engine="xla")
+    npt.assert_allclose(np.asarray(got.values), np.asarray(ref.values),
+                        atol=5e-4 * scale)
+
+
+def test_fused_psd_not_applicable_fallbacks():
+    da = LabeledArray(
+        _field((2, 32, 24)), dims=("t", "y", "x"),
+        coords={"y": np.arange(32) * 1.0, "x": np.arange(24) * 1.0},
+    )
+    # complex input, single transform dim, xla engine: all must decline
+    assert not psd_fused.fused_psd_applicable(
+        da, ["y", "x"], "x", True, {"engine": "xla"})
+    cda = da.copy(data=carray.ComplexPair(da.data, da.data))
+    assert not psd_fused.fused_psd_applicable(
+        cda, ["y", "x"], "x", True, {"engine": "matmul"})
+    assert not psd_fused.fused_psd_applicable(
+        da, ["y", "x"], "x", True,
+        {"engine": "matmul", "true_phase": True})
+    assert not psd_fused.fused_psd_applicable(
+        da, ["y", "x"], "x", True,
+        {"engine": "matmul", "detrend": "quadratic"})
+    # unknown kwargs must fall through to the generic path's error
+    assert not psd_fused.fused_psd_applicable(
+        da, ["y", "x"], "x", True, {"engine": "matmul", "bogus": 1})
+
+
+def test_raw_layout_roundtrip_matches_standard_epilogue():
+    # raw planes + raw_to_standard == the engine's own epilogue, per kind
+    rng = np.random.RandomState(3)
+    x = rng.randn(3, 48, 64)
+    for kind, axes in [("rfft", [1, 2]), ("fft", [1, 2])]:
+        std = carray.to_numpy(stacked_fft.fft_nd_stacked(x, axes, kind))
+        a, layout = stacked_fft.fft_nd_stacked(x, axes, kind, raw=True)
+        re, im = stacked_fft.raw_planes(a, layout)
+        got = (np.asarray(stacked_fft.raw_to_standard(re, layout))
+               + 1j * np.asarray(stacked_fft.raw_to_standard(im, layout)))
+        npt.assert_allclose(got, std, atol=1e-11 * np.abs(std).max())
+
+
+def test_engine_pre_weights_parity():
+    rng = np.random.RandomState(4)
+    x = rng.randn(2, 2048)
+    w = np.hanning(2048)
+    ref = np.fft.fft(x * w, axis=1)
+    got = carray.to_numpy(stacked_fft.fft_nd_stacked(
+        x, [1], "fft", pre_weights={1: w}))
+    npt.assert_allclose(got, ref, atol=1e-11 * np.abs(ref).max())
+    # direct plan: weight folded into the dot rows
+    x2 = rng.randn(2, 96)
+    w2 = np.hanning(96)
+    ref2 = np.fft.fft(x2 * w2, axis=1)
+    got2 = carray.to_numpy(stacked_fft.fft_nd_stacked(
+        x2, [1], "fft", pre_weights={1: w2}))
+    npt.assert_allclose(got2, ref2, atol=1e-12 * np.abs(ref2).max())

@@ -61,7 +61,8 @@ from ..config import config
 from .carray import ComplexPair, as_pair, is_pair
 from .matmul_fft import _dft_matrix_np, _twiddle_np, _PRECISIONS
 
-__all__ = ["stacked_supported", "fft_nd_stacked"]
+__all__ = ["stacked_supported", "fft_nd_stacked", "RawStacked",
+           "raw_planes", "raw_to_standard"]
 
 
 def _precision():
@@ -235,6 +236,75 @@ def _merged_rhs(wc: np.ndarray, rdt, tw: np.ndarray | None,
 
 
 # --------------------------------------------------------------------------
+# Raw (pre-epilogue) layout support
+# --------------------------------------------------------------------------
+
+
+class RawStacked:
+    """Layout descriptor for a raw (pre-epilogue) stacked-engine result:
+    which token lives at which position of the returned array, plus the
+    per-axis radix plans needed to map digit slots back to standard
+    frequency indices."""
+
+    def __init__(self, dims, in_shape, order, plans, prune_axis, merged_K):
+        self.dims = dims            # token tuple for the raw array's axes
+        self.in_shape = in_shape
+        self.order = order          # transform axes, in transform order
+        self.plans = plans          # {axis: radix plan}
+        self.prune_axis = prune_axis
+        self.merged_K = merged_K    # K of the merged (c-major 2K) slot
+        self.last_ax = order[-1]
+        self.ndim = len(in_shape)
+
+
+def raw_planes(a, layout):
+    """(re, im) slices of the merged trailing (c-major 2K) axis — lazy
+    views that fuse into the consumer."""
+    K = layout.merged_K
+    last = a.ndim - 1
+    return (lax.slice_in_dim(a, 0, K, axis=last),
+            lax.slice_in_dim(a, K, 2 * K, axis=last))
+
+
+def _axis_dig_positions(layout, ax):
+    """Positions (in layout.dims) of ax's digit slots, most significant
+    first; the merged col slot (always last) stands in for the last
+    transformed axis's final digit."""
+    F = layout.plans[ax]
+    dims = list(layout.dims)
+    if ax == layout.last_ax:
+        return [len(dims) - 1] + [dims.index(_dig(ax, lvl))
+                                  for lvl in reversed(range(len(F) - 1))]
+    return [dims.index(_dig(ax, lvl)) for lvl in reversed(range(len(F)))]
+
+
+def raw_to_standard(x, layout, axis_order=None):
+    """Restore a real reduced raw-layout array (an elementwise reduction
+    of the planes, e.g. |F|^2) to standard frequency order with ONE
+    reshape pass; slices the pruned rfft axis to its one-sided length.
+    ``axis_order`` emits the original axes in an arbitrary order (the
+    permutation rides the same single pass for free)."""
+    perm, new_sizes = [], []
+    prune_pos = None
+    for i in (axis_order if axis_order is not None else range(layout.ndim)):
+        if i in layout.order:
+            poss = _axis_dig_positions(layout, i)
+            perm.extend(poss)
+            if i == layout.prune_axis:
+                prune_pos = len(new_sizes)
+            new_sizes.append(int(np.prod([x.shape[p] for p in poss])))
+        else:
+            p = layout.dims.index(_orig(i))
+            perm.append(p)
+            new_sizes.append(x.shape[p])
+    out = lax.reshape(x, tuple(new_sizes), dimensions=tuple(perm))
+    if prune_pos is not None:
+        n = layout.in_shape[layout.prune_axis]
+        out = lax.slice_in_dim(out, 0, n // 2 + 1, axis=prune_pos)
+    return out
+
+
+# --------------------------------------------------------------------------
 # Driver
 # --------------------------------------------------------------------------
 
@@ -259,11 +329,32 @@ def _ck(ax, lvl):
 
 
 def fft_nd_stacked(x, axes, kind: str, pre_shift_axes=(), post_shift_axes=(),
-                   post_kind: str = "fftshift") -> ComplexPair:
+                   post_kind: str = "fftshift", pre_weights=None,
+                   raw: bool = False):
     """N-D forward/inverse FFT via the stacked-complex pad-free schedule.
 
     Caller contract matches :func:`matmul_fft.matmul_fft_nd` for the
     supported kinds; call :func:`stacked_supported` first.
+
+    Two extensions serve the fused spectral-estimator paths:
+
+    ``pre_weights`` — ``{axis: 1-D float64 array}`` of per-element input
+    weights (separable window factors).  Direct (single-level) plans fold
+    the weight into the dot's rows (exactly free); multi-level plans apply
+    it as an elementwise broadcast multiply immediately before the axis's
+    first dot, where XLA fuses it into the preceding dot's output fusion
+    (axes after the first: zero extra memory passes) or the input layout
+    copy.  Weighted axes must not also request an absorbed input
+    ifftshift.
+
+    ``raw=True`` — skip the standard-order epilogue and return
+    ``(array, RawStacked)``: the stacked-complex result in the engine's
+    deferred-interleave digit layout plus the metadata needed to (a) build
+    broadcastable per-axis frequency factors in that layout
+    (:func:`raw_factor`), and (b) restore standard order later with a
+    single reshape (:func:`raw_to_standard`).  Estimators that reduce the
+    complex planes elementwise (|F|^2) run the reduction in the raw layout
+    and only pay the restore pass on the (half-size, real) reduced array.
     """
     if not is_pair(x) and not isinstance(x, jax.Array):
         xx = np.asarray(x)
@@ -325,9 +416,29 @@ def fft_nd_stacked(x, axes, kind: str, pre_shift_axes=(), post_shift_axes=(),
         L = len(F)
         pre = ax in pre_set
         post = ax in post_set
+        w1d = pre_weights.get(ax) if pre_weights else None
+        if w1d is not None:
+            assert not pre, "pre_weights with absorbed input shift"
+            w1d = np.asarray(w1d, dtype=np.float64)
         rem_size = n
         # rename the original slot to this axis's remaining block
         dims[pos(_orig(ax))] = _rem(ax)
+
+        if w1d is not None and L > 1:
+            # separable input weight (window factor): an elementwise
+            # broadcast multiply placed immediately before this axis's
+            # first dot.  For axes after the first this fuses into the
+            # previous dot's output fusion (zero memory passes); for the
+            # first axis XLA can fuse it with the input layout copy.
+            # (Folding it into the first-level dot via batching over the
+            # remainder digit was measured WORSE on the v5e: the batched
+            # dot forces batch-major layout copies of the full operand.)
+            # Direct (L == 1) plans fold the weight into the dot rows
+            # below instead — exactly free.
+            p = pos(_rem(ax))
+            bshape = [1] * a.ndim
+            bshape[p] = n
+            a = a * jnp.asarray(w1d.astype(rdtype).reshape(bshape))
 
         prev_dig = None  # digit token batching the next (final) dot
         pending_tw = None  # (r_prev, rem) twiddle deferred into final dot
@@ -395,6 +506,8 @@ def fft_nd_stacked(x, axes, kind: str, pre_shift_axes=(), post_shift_axes=(),
                 wc = _w_complex_np(r, sign, post_roll=post_roll,
                                    kcols=kcols, pre_perm=pre_perm,
                                    post_perm=post_perm, scale=wsc)
+                if w1d is not None and L == 1:
+                    wc = wc * w1d[:, None]  # direct plan: scale input rows
                 K = wc.shape[1]
                 if final_overall:
                     # W-RHS, merged (2K) trailing output dim
@@ -457,6 +570,11 @@ def fft_nd_stacked(x, axes, kind: str, pre_shift_axes=(), post_shift_axes=(),
                 pending_tw = None
                 prev_dig = None
 
+    if raw:
+        plans = {ax2: plan(in_shape[ax2], cap) for ax2 in order}
+        return a, RawStacked(tuple(dims), tuple(in_shape), tuple(order),
+                             plans, prune_axis, merged_K)
+
     # ------------------------------------------------------------ epilogue
     # ONE lax.reshape(dimensions=...) performs the whole restore: it
     # transposes digit slots to (major..minor) order per axis with the
@@ -512,15 +630,18 @@ def fft_nd_stacked(x, axes, kind: str, pre_shift_axes=(), post_shift_axes=(),
 
 
 def _twiddle_mul(a, tw: np.ndarray, dims: list, ax, lvl, rdtype):
-    """Explicit twiddle pass for 3+-level plans: a has c at dims[0] and the
-    just-emitted digit at dims[1]; tw is (k_lvl, m_rem)."""
-    kp = dims.index(_dig(ax, lvl))
-    mp = dims.index(_rem(ax))
-    assert dims[0] == _C and kp == 1
-    shape = [1] * (a.ndim - 1)  # without the c axis
-    shape[kp - 1] = tw.shape[0]
-    shape[mp - 1] = tw.shape[1]
-    twr = jnp.asarray(tw.real.astype(rdtype).reshape(shape))
-    twi = jnp.asarray(tw.imag.astype(rdtype).reshape(shape))
-    re, im = a[0], a[1]
-    return jnp.stack([re * twr - im * twi, re * twi + im * twr], axis=0)
+    """Explicit twiddle pass for 3+-level plans: a has a c plane axis, the
+    just-emitted digit, and the remainder block somewhere in dims; tw is
+    (k_lvl, m_rem)."""
+    cp = dims.index(_C)
+    kp = dims.index(_dig(ax, lvl)) - (1 if cp < dims.index(_dig(ax, lvl)) else 0)
+    mp = dims.index(_rem(ax)) - (1 if cp < dims.index(_rem(ax)) else 0)
+    bshape = [1] * (a.ndim - 1)
+    bshape[kp] = tw.shape[0]
+    bshape[mp] = tw.shape[1]
+    t = tw if kp < mp else tw.T  # axis order must match slot order
+    twr = jnp.asarray(t.real.astype(rdtype).reshape(bshape))
+    twi = jnp.asarray(t.imag.astype(rdtype).reshape(bshape))
+    re = lax.index_in_dim(a, 0, cp, keepdims=False)
+    im = lax.index_in_dim(a, 1, cp, keepdims=False)
+    return jnp.stack([re * twr - im * twi, re * twi + im * twr], axis=cp)

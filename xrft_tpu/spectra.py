@@ -257,6 +257,19 @@ def _power_spectrum_via_rfft(da, dim, half_dim, kwargs, prescale=None):
         ce.get_coordinate_spacing(_dim_coord(da, d),
                                   kwargs.get("spacing_tol", 1e-3))
         for d in dims])) ** 2
+
+    # fully fused route (stacked engine): window folded into the transform
+    # stage, |.|^2 computed on the raw engine layout so only the real
+    # half-size PSD pays the restore pass (see ops/psd_fused.py)
+    from .ops import psd_fused
+
+    if psd_fused.fused_psd_applicable(da, dims, half_dim, shift, kwargs):
+        scale = amp2 if prescale is None else amp2 * prescale
+        daft = psd_fused.fused_one_sided_psd(da, dims, half_dim, shift,
+                                             scale, kwargs)
+        return _hermitian_expand(daft.data, daft, da, dims, half_dim,
+                                 kwargs, shift, conj_mirror=False)
+
     daft = fft(da, dim=dims, real_dim=half_dim, shift=shift,
                _shift_nonreal=True, **kwargs)
     ps_half = carray.abs2(daft.data)
