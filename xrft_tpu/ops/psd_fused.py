@@ -22,10 +22,15 @@ only for |.|^2 to immediately halve the data.  This path instead:
    generic path (a spectral-domain subtraction was measured equal-traffic
    but loses f32 accuracy at low wavenumbers when the trend dominates).
 
+plus an up-front transpose to the dot chain's preferred free-dim order
+(see the layout note in :func:`fused_one_sided_psd`).
+
 Together with the Hermitian mirror this computes the reference's
 ``power_spectrum`` (``/root/reference/xrft/xrft.py:685-750``) semantics
-for real input with ~2.5 fewer full-field memory passes (21.2 -> 17.2 GB
-on the 8x4096x4096 flagship, XLA cost analysis).
+for real input at 31 -> ~21 ms/iteration on the 8x4096x4096 v5e flagship
+(wall clock is the arbiter here: XLA's bytes-accessed figure does NOT
+track it once DMA copies overlap the MXU dots — the chosen layout issues
+more cost-model bytes than the alternatives and is 2-5 ms faster).
 """
 
 from __future__ import annotations
@@ -115,9 +120,29 @@ def fused_one_sided_psd(da, dims, half_dim, shift, scale, kwargs):
     _check_bad_transform_coords(da, dims)
 
     orig_dims = da.dims
-    newdims = [d for d in orig_dims if d != half_dim] + [half_dim]
-    if tuple(orig_dims) != tuple(newdims):
+    # Input layout (measured on the v5e, scripts/perf_psd_variants.py):
+    # XLA's layout assignment wants the first dot's free transform dim
+    # physically major; fed that order the whole dot chain runs without a
+    # single relayout copy, while e.g. [t,y,x] input pays one full-array
+    # copy before the first dot AND one between the axes (+2.2 GB).  So
+    # the path transposes to [non-half transform dims, batch dims, half]
+    # up front, behind an optimization_barrier — without the barrier XLA
+    # fuses the transpose into the elementwise pass and re-inserts both
+    # copies.  The restore reshape hands the caller's dim order back for
+    # free (axis_order below), so only this one input pass is paid.
+    newdims = ([d for d in dims if d != half_dim]
+               + [d for d in orig_dims if d not in dims] + [half_dim])
+    barrier = tuple(orig_dims) != tuple(newdims)
+    if barrier:
+        import jax
+
         da = da.transpose(*newdims)
+        data0 = da.data
+        if isinstance(data0, np.ndarray):
+            from ..labeled import _asjax
+
+            data0 = _asjax(data0)
+        da = da.copy(data=jax.lax.optimization_barrier(data0))
 
     # dims has half_dim last by construction (spectra._half_spectrum_dim)
     axes = [da.get_axis_num(d) for d in dims]

@@ -317,11 +317,11 @@ def _orig(i):
 
 
 def _dig(ax, lvl):
-    return ("dig", ax, lvl)
+    return ("dig", ax, lvl)      # emitted output digit
 
 
-def _rem(ax):
-    return ("rem", ax)
+def _in(ax, lvl):
+    return ("in", ax, lvl)       # pre-split input digit (level-0 major)
 
 
 def _ck(ax, lvl):
@@ -404,6 +404,27 @@ def fft_nd_stacked(x, axes, kind: str, pre_shift_axes=(), post_shift_axes=(),
 
     dims: list = ([_C] if has_c else []) + [_orig(i) for i in range(ndim)]
 
+    # Pre-split every transform axis into its digit dims in ONE reshape
+    # (row-major, level-0 digit major).  At the input this merges into the
+    # layout copy / elementwise fusion XLA emits anyway; splitting lazily
+    # per level was measured to materialize a full physical reshape
+    # between axes on the v5e (the minor-dims tiling changes when a
+    # just-transformed axis stops being trailing).
+    new_dims: list = []
+    new_shape: list = []
+    for q, tok in enumerate(dims):
+        if tok != _C and tok[0] == "orig" and tok[1] in order:
+            i = tok[1]
+            for lvl, r in enumerate(plan(in_shape[i], cap)):
+                new_dims.append(_in(i, lvl))
+                new_shape.append(r)
+        else:
+            new_dims.append(tok)
+            new_shape.append(a.shape[q])
+    dims = new_dims
+    if tuple(new_shape) != tuple(a.shape):
+        a = a.reshape(tuple(new_shape))
+
     def pos(tok):
         return dims.index(tok)
 
@@ -420,9 +441,6 @@ def fft_nd_stacked(x, axes, kind: str, pre_shift_axes=(), post_shift_axes=(),
         if w1d is not None:
             assert not pre, "pre_weights with absorbed input shift"
             w1d = np.asarray(w1d, dtype=np.float64)
-        rem_size = n
-        # rename the original slot to this axis's remaining block
-        dims[pos(_orig(ax))] = _rem(ax)
 
         if w1d is not None and L > 1:
             # separable input weight (window factor): an elementwise
@@ -435,9 +453,9 @@ def fft_nd_stacked(x, axes, kind: str, pre_shift_axes=(), post_shift_axes=(),
             # dot forces batch-major layout copies of the full operand.)
             # Direct (L == 1) plans fold the weight into the dot rows
             # below instead — exactly free.
-            p = pos(_rem(ax))
             bshape = [1] * a.ndim
-            bshape[p] = n
+            for lvl2, r2 in enumerate(F):
+                bshape[pos(_in(ax, lvl2))] = r2
             a = a * jnp.asarray(w1d.astype(rdtype).reshape(bshape))
 
         prev_dig = None  # digit token batching the next (final) dot
@@ -447,14 +465,10 @@ def fft_nd_stacked(x, axes, kind: str, pre_shift_axes=(), post_shift_axes=(),
             dot_i += 1
             final_axis_dot = lvl == L - 1
             final_overall = dot_i == total_dots
-            p = pos(_rem(ax))
+            p = pos(_in(ax, lvl))
 
             if not final_axis_dot:
-                # split remaining block: (r major, rem_size//r)
-                s = rem_size // r
-                new_shape = (a.shape[:p] + (r, s) + a.shape[p + 1:])
-                a = a.reshape(new_shape)
-                dims[p:p + 1] = [("j", ax, lvl), _rem(ax)]
+                s = int(np.prod(F[lvl + 1:]))  # remaining block size
                 jp = p
                 # weight: DFT_r, pre-roll on the first level only
                 pre_roll = (r // 2) if (pre and lvl == 0 and L > 1) else 0
@@ -476,7 +490,6 @@ def fft_nd_stacked(x, axes, kind: str, pre_shift_axes=(), post_shift_axes=(),
                     rest = [d for q, d in enumerate(dims) if q != jp]
                     has_c = True
                 dims = [_C, _dig(ax, lvl)] + rest
-                rem_size = s
                 # twiddle between this level and the rest of the axis
                 if lvl == L - 2:
                     pending_tw = _twiddle_np(r, s, sign)
@@ -484,12 +497,11 @@ def fft_nd_stacked(x, axes, kind: str, pre_shift_axes=(), post_shift_axes=(),
                 else:
                     # explicit twiddle pass (3+ level plans only)
                     tw = _twiddle_np(r, s, sign)
-                    a = _twiddle_mul(a, tw, dims, ax, lvl, rdtype)
+                    a = _twiddle_mul(a, tw, dims, ax, lvl, rdtype, F)
             else:
-                # final level of this axis: contract the whole remaining
-                # block (size r == rem_size), twiddle folded via batching
-                # over the previous digit when L >= 2
-                assert rem_size == r
+                # final level of this axis: contract the last digit,
+                # twiddle folded via batching over the previous digit
+                # when L >= 2
                 kcols = None
                 if ax == prune_axis:
                     kcols = r // 2 + 1
@@ -629,17 +641,26 @@ def fft_nd_stacked(x, axes, kind: str, pre_shift_axes=(), post_shift_axes=(),
     )
 
 
-def _twiddle_mul(a, tw: np.ndarray, dims: list, ax, lvl, rdtype):
+def _twiddle_mul(a, tw: np.ndarray, dims: list, ax, lvl, rdtype, F):
     """Explicit twiddle pass for 3+-level plans: a has a c plane axis, the
-    just-emitted digit, and the remainder block somewhere in dims; tw is
-    (k_lvl, m_rem)."""
+    just-emitted digit (prepended by the dot, so ahead of the remaining
+    input-digit dims), and the remaining digits of `ax` somewhere after;
+    tw is (k_lvl, m_rem) with m_rem the row-major flatten of the remaining
+    digits."""
     cp = dims.index(_C)
-    kp = dims.index(_dig(ax, lvl)) - (1 if cp < dims.index(_dig(ax, lvl)) else 0)
-    mp = dims.index(_rem(ax)) - (1 if cp < dims.index(_rem(ax)) else 0)
+
+    def adj(q):
+        return q - (1 if cp < q else 0)
+
+    kp = adj(dims.index(_dig(ax, lvl)))
     bshape = [1] * (a.ndim - 1)
     bshape[kp] = tw.shape[0]
-    bshape[mp] = tw.shape[1]
-    t = tw if kp < mp else tw.T  # axis order must match slot order
+    for l2 in range(lvl + 1, len(F)):
+        bshape[adj(dims.index(_in(ax, l2)))] = F[l2]
+    # the emitted digit is prepended by the dot, so it precedes every
+    # remaining input digit and the (k, m-digits...) axis order of the
+    # reshaped constant matches the slot order
+    t = tw.reshape((tw.shape[0],) + tuple(F[lvl + 1:]))
     twr = jnp.asarray(t.real.astype(rdtype).reshape(bshape))
     twi = jnp.asarray(t.imag.astype(rdtype).reshape(bshape))
     re = lax.index_in_dim(a, 0, cp, keepdims=False)

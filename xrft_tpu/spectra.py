@@ -204,6 +204,9 @@ def _hermitian_expand(half, daft, da, dims, half_dim, kwargs, shift,
                         piece = carray.take_with_sharding(
                             piece, jnp.asarray(perms[a]), a, ps_sharding)
                     else:
+                        # (an explicit concat([row0, flip(rest)]) form of
+                        # this flip+roll canonicalizes to the identical
+                        # HLO — measured no-op on the v5e)
                         piece = carray.flip(piece, [a])
                         if sroll:
                             piece = carray.roll(piece, sroll, a)
