@@ -162,9 +162,23 @@ def fused_one_sided_psd(da, dims, half_dim, shift, scale, kwargs):
         data = _asjax(data)
     rdt = np.dtype(data.dtype)
 
-    pre_weights = ({ax: _host_window(window, da.sizes[d])
-                    for d, ax in zip(dims, axes)}
-                   if window is not None else None)
+    pre_weights = None
+    if window is not None and detrend is not None:
+        # With a detrend pass in the program the engine's pre_weights
+        # placement overlaps the detrend reductions and wins (20.7 vs
+        # 22.4 ms on the v5e flagship, scripts/perf_psd_stages.py).
+        pre_weights = {ax: _host_window(window, da.sizes[d])
+                       for d, ax in zip(dims, axes)}
+    elif window is not None:
+        # Without detrend, an explicit broadcast multiply (one fused
+        # elementwise pass) beats pre_weights by ~6 ms: the engine's
+        # multiply sits next to the digit-split reshape and leaves the
+        # input relayout copy unfused and slow.
+        for d, ax in zip(dims, axes):
+            w1 = _host_window(window, da.sizes[d]).astype(rdt)
+            bshape = [1] * data.ndim
+            bshape[ax] = da.sizes[d]
+            data = data * jnp.asarray(w1.reshape(bshape))
 
     post_axes = tuple(axes[:-1]) if shift else ()
     a_raw, layout = stacked_fft.fft_nd_stacked(
