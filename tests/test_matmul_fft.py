@@ -68,6 +68,22 @@ def test_irfft_roundtrip_even(n):
     npt.assert_allclose(np.asarray(back), x, atol=1e-10)
 
 
+@pytest.mark.parametrize("shape,axes", [((5, 16), [1]), ((4, 8, 12), [1, 2]),
+                                        ((2, 6, 10), [2]), ((7, 2), [1]),
+                                        ((1, 129), [1]), ((2, 3, 4, 6), [1, 2, 3])])
+def test_irfft_nonhermitian_matches_numpy(shape, axes):
+    # the packed half-length irfft must reproduce pocketfft's c2r
+    # semantics exactly for ARBITRARY (non-Hermitian-consistent) input:
+    # DC/Nyquist imaginary parts ignored, interior taken as given
+    # (/root/reference relies on np.fft.irfftn at xrft/xrft.py:583-591)
+    rng = np.random.RandomState(sum(shape))
+    X = rng.randn(*shape) + 1j * rng.randn(*shape)
+    got = np.asarray(matmul_fft_nd(np.asarray(X), axes, "irfft"))
+    ref = np.fft.irfftn(X, axes=axes)
+    scale = max(np.abs(ref).max(), 1e-30)
+    npt.assert_allclose(got / scale, ref / scale, atol=1e-11)
+
+
 def test_fftn_2d_matches_numpy():
     rng = np.random.RandomState(0)
     x = rng.randn(32, 48) + 1j * rng.randn(32, 48)

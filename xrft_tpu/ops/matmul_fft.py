@@ -314,6 +314,45 @@ def _rfft_packed_last(x, n) -> ComplexPair:
     return carray.concatenate([head, nyq], axis=-1)
 
 
+def _irfft_packed_last(X, n, rdtype) -> jnp.ndarray:
+    """irfft of a one-sided pair X (last axis, m+1 = n/2+1 columns) via the
+    inverse even/odd packing trick — the half-length dual of
+    :func:`_rfft_packed_last`:
+
+        E[k] = (X[k] + conj(X[m-k]))/2
+        O[k] = (X[k] - conj(X[m-k]))/2 * w^{-k}   (w = exp(-2*pi*i/n))
+        z    = IFFT_m(E + i O);  x[2j] = Re z[j], x[2j+1] = Im z[j]
+
+    The imaginary parts of the DC and Nyquist columns are dropped first,
+    matching pocketfft's c2r semantics (``np.fft.irfft`` ignores them), so
+    the result is bit-equal in expectation to the Hermitian-mirror +
+    full-length-ifft formulation at half the trailing-axis traffic.
+    """
+    m = n // 2
+    Xh = carray.getitem(X, (Ellipsis, slice(0, m)))
+    Xr = carray.flip(carray.getitem(X, (Ellipsis, slice(1, m + 1))), [-1])
+    # zero the DC (Xh col 0) / Nyquist (Xr col 0) imaginary parts
+    mask_np = np.ones(m)
+    mask_np[0] = 0.0
+    mask = jnp.asarray(mask_np.astype(rdtype))
+    Xh = ComplexPair(Xh.re, Xh.im * mask)
+    Xr = ComplexPair(Xr.re, Xr.im * mask)
+    E = ComplexPair((Xh.re + Xr.re) * 0.5, (Xh.im - Xr.im) * 0.5)
+    Ow = ComplexPair((Xh.re - Xr.re) * 0.5, (Xh.im + Xr.im) * 0.5)
+    Wc = _tw_const(np.conj(_pack_twiddle_np(n)), rdtype)
+    O = Wc * Ow
+    Z = ComplexPair(E.re - O.im, E.im + O.re)
+    from . import stacked_fft
+
+    if stacked_fft.stacked_supported(Z, [Z.ndim - 1], "ifft", set(), set()):
+        z = stacked_fft.fft_nd_stacked(Z, [Z.ndim - 1], "ifft")
+    else:
+        z = _fft_last_impl(Z, m, +1, rdtype) * (1.0 / m)
+    # interleave: x[2j] = Re z[j], x[2j+1] = Im z[j]
+    out = jnp.stack([z.re, z.im], axis=-1)
+    return out.reshape(out.shape[:-2] + (n,))
+
+
 def _transform_axis(x, axis, sign, pre=False, post=None) -> ComplexPair:
     ndim = x.ndim
     if axis in (-1, ndim - 1):
@@ -400,6 +439,12 @@ def matmul_fft_nd(x, axes, kind: str, pre_shift_axes=(), post_shift_axes=(),
                 for a in axes[:-1]:
                     out = _transform_axis(out, a, +1)
                     scale *= x.shape[a]
+        if n >= 2:
+            # half-length packed inverse (even n is structural here:
+            # n = 2*(mm-1)); halves the trailing-axis dot + memory work
+            rdtype = _rdtype_of(out)
+            res = _irfft_packed_last(out, n, rdtype)
+            return res * (1.0 / scale) if scale != 1.0 else res
         tail = carray.conj(out[..., -2:0:-1])
         full = carray.concatenate([out, tail], axis=-1)
         if stacked_fft.stacked_supported(full, [ndim - 1], "ifft",
