@@ -10,7 +10,6 @@ practice the int8-limb engine holds ~1e-13 even here.
 
 import numpy as np
 import numpy.testing as npt
-import pytest
 import scipy.signal as sps
 
 import jax
@@ -178,10 +177,38 @@ def test_hp_fft_segments():
     ps = xrft_tpu.power_spectrum(da, dim=["t"], chunks_to_segments=True,
                                  engine="hp")
     assert "t_segment" in ps.dims
-    # ifft segments stay unimplemented for hp
-    with pytest.raises(NotImplementedError):
-        xrft_tpu.ifft(out, dim=["freq_t"], chunks_to_segments=True,
-                      engine="hp")
+
+
+def test_hp_ifft_segments():
+    """ifft with chunks_to_segments under engine='hp': segment reshape
+    after the lag phase premultiplication (reference
+    /root/reference/xrft/xrft.py:574-579), per-segment numpy oracle at
+    df64 grade."""
+    N, seg = 32, 16
+    rng = np.random.RandomState(33)
+    spec = rng.randn(N) + 1j * rng.randn(N)
+    f16 = np.fft.fftshift(np.fft.fftfreq(seg, 0.5))
+    daft = LabeledArray(spec, dims=["freq_t"],
+                        coords={"freq_t": np.tile(f16, 2)}
+                        ).chunk({"freq_t": seg})
+
+    out = xrft_tpu.ifft(daft, dim=["freq_t"], chunks_to_segments=True,
+                        true_phase=True, lag=[0.0], true_amplitude=False,
+                        shift=False, engine="hp")
+    assert out.dims == ("freq_t_segment", "t")
+    ref = np.fft.ifft(np.fft.ifftshift(spec.reshape(2, seg), axes=-1),
+                      axis=-1)
+    npt.assert_allclose(np.asarray(out.values), ref, atol=1e-12)
+
+    # nonzero lag: the df64 phase premultiply runs on the full coord
+    # BEFORE the segment reshape
+    out3 = xrft_tpu.ifft(daft, dim=["freq_t"], chunks_to_segments=True,
+                         true_phase=True, lag=[3.0], true_amplitude=False,
+                         shift=False, engine="hp")
+    pre = spec * np.exp(2j * np.pi * np.tile(f16, 2) * 3.0)
+    ref3 = np.fft.ifft(np.fft.ifftshift(pre.reshape(2, seg), axes=-1),
+                       axis=-1)
+    npt.assert_allclose(np.asarray(out3.values), ref3, atol=1e-12)
 
 
 def test_df64_labeledarray_ops():

@@ -337,9 +337,11 @@ def ifft_hp(
     true_amplitude: bool = True,
     prefix: str = "freq_",
     lag=None,
+    chunks_to_segments: bool = False,
 ) -> LabeledArray:
     """:func:`xrft_tpu.ifft` semantics at df64 precision, jit-traceable
-    (reference ``/root/reference/xrft/xrft.py:479-646``)."""
+    (reference ``/root/reference/xrft/xrft.py:479-646``; segment stacking
+    after the lag phase pre-multiplication as at ``:574-579``)."""
     import warnings as _warnings
 
     import jax.numpy as jnp
@@ -384,14 +386,23 @@ def ifft_hp(
             for d, l in zip(dim, lag)
         ]
 
-    rawdims = daft.dims
     x4 = as_quad(daft.data)
-    work_coords = {c: daft.coords[c].copy() for c in daft.coords}
     if true_phase:
         for d, l in zip(dim, lag):
             ax = daft.get_axis_num(d)
             x4 = _cmul_host_phase(
                 x4, 2.0 * np.pi * _dim_coord(daft, d).values * float(l), ax)
+
+    if chunks_to_segments:
+        from .transform import _segment_plan
+
+        newdims, newshape, newcoords = _segment_plan(daft, dim)
+        x4 = tuple(v.reshape(tuple(newshape)) for v in x4)
+        daft = LabeledArray(x4[0], dims=newdims, coords=newcoords,
+                            attrs=daft.attrs)
+
+    rawdims = daft.dims
+    work_coords = {c: daft.coords[c].copy() for c in daft.coords}
 
     if real_dim is not None:
         order = _move_to_end(list(daft.dims), real_dim)

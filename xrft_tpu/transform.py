@@ -101,6 +101,16 @@ def _stack_segments(da: LabeledArray, dim, suffix="_segment") -> LabeledArray:
     the array's declared chunk lengths (Welch/Bartlett segmenting; the TPU
     analogue of the reference's dask-chunk reshape ``_stack_chunks``,
     ``/root/reference/xrft/xrft.py:106-136``)."""
+    newdims, newshape, newcoords = _segment_plan(da, dim, suffix)
+    data = carray.reshape(da.data, tuple(newshape)) if carray.is_pair(da.data) \
+        else da.data.reshape(tuple(newshape))
+    return LabeledArray(data, dims=newdims, coords=newcoords, attrs=da.attrs)
+
+
+def _segment_plan(da: LabeledArray, dim, suffix="_segment"):
+    """Metadata for :func:`_stack_segments` — (newdims, newshape,
+    newcoords) — shared with the quad-plane (engine='hp') path, which
+    reshapes its four limb arrays itself."""
     chunks = getattr(da, "_chunks", None) or da.attrs.get("_chunks")
     if chunks is None:
         raise ValueError(
@@ -129,9 +139,7 @@ def _stack_segments(da: LabeledArray, dim, suffix="_segment") -> LabeledArray:
             newshape.append(n)
             if d in da.coords:
                 newcoords[d] = da.coords[d].values
-    data = carray.reshape(da.data, tuple(newshape)) if carray.is_pair(da.data) \
-        else da.data.reshape(tuple(newshape))
-    return LabeledArray(data, dims=newdims, coords=newcoords, attrs=da.attrs)
+    return newdims, newshape, newcoords
 
 
 def fft(
@@ -333,14 +341,10 @@ def ifft(
         warnings.warn(_real_flag_warning, FutureWarning)
 
     if engine == "hp":
-        if chunks_to_segments:
-            raise NotImplementedError(
-                "engine='hp' does not support chunks_to_segments yet"
-            )
         from .highprec import ifft_hp
 
         return ifft_hp(daft, spacing_tol, dim, real_dim, shift, true_phase,
-                       true_amplitude, prefix, lag)
+                       true_amplitude, prefix, lag, chunks_to_segments)
 
     if real_dim is not None:
         if real_dim not in daft.dims:
