@@ -145,3 +145,35 @@ def test_xarray_compat_gated():
     if not has_xr:
         with pytest.raises(ImportError, match="xarray"):
             xc.from_xarray(None)
+
+
+def test_jit_over_host_complex128_split_mode():
+    """A LabeledArray holding host-resident complex128 numpy data must be
+    jit-stageable on split-complex backends: tree_flatten emits an exact
+    df64 quad (CDF64) instead of a complex leaf (which the TPU cannot
+    execute, failing asynchronously).  The f32 engines degrade it to a
+    pair; engine='hp' consumes it at full precision."""
+    import jax
+
+    import xrft_tpu
+    from xrft_tpu.config import complex_mode
+
+    N = 16
+    rng = np.random.RandomState(33)
+    spec = rng.randn(N) + 1j * rng.randn(N)
+    f16 = np.fft.fftshift(np.fft.fftfreq(N, 0.5))
+    daft = LabeledArray(spec, dims=["freq_t"], coords={"freq_t": f16})
+
+    with complex_mode("split"):
+        out = jax.jit(lambda d: xrft_tpu.ifft(
+            d, dim=["freq_t"], true_phase=True, lag=[0.25],
+            true_amplitude=False, shift=False))(daft)
+        pre = spec * np.exp(2j * np.pi * f16 * 0.25)
+        ref = np.fft.ifft(np.fft.ifftshift(pre))
+        npt.assert_allclose(np.asarray(out.values), ref, atol=1e-6)
+
+        outh = jax.jit(lambda d: xrft_tpu.ifft(
+            d, dim=["freq_t"], true_phase=True, lag=[0.0],
+            true_amplitude=False, shift=False, engine="hp"))(daft)
+        refh = np.fft.ifft(np.fft.ifftshift(spec))
+        npt.assert_allclose(np.asarray(outh.values), refh, atol=1e-13)

@@ -330,7 +330,25 @@ class LabeledArray:
 
     # ------------------------------------------------------- pytree protocol
     def tree_flatten(self):
-        return (self.data,), _Aux(self.dims, self.coords, self.attrs, self.name)
+        data = self.data
+        if isinstance(data, np.ndarray) and data.dtype == np.complex128:
+            # host-resident complex128 (kept unconverted at construction to
+            # preserve f64 precision) must never cross a jit boundary as a
+            # complex leaf on split-complex backends: the TPU cannot
+            # execute complex HLOs and the failure surfaces asynchronously.
+            # Flatten it as an exact df64 quad instead (CDF64 is itself a
+            # pytree, so jit sees four f32 leaves); engine='hp' consumes it
+            # at full precision, the f32 engines degrade it to a pair in
+            # fft_core._dispatch.
+            from .ops.fft_core import use_split_complex
+
+            if use_split_complex():
+                from .ops.df64 import split_f64_np
+
+                rh, rl = split_f64_np(np.ascontiguousarray(data.real))
+                ih, il = split_f64_np(np.ascontiguousarray(data.imag))
+                data = carray.CDF64(rh, rl, ih, il)
+        return (data,), _Aux(self.dims, self.coords, self.attrs, self.name)
 
     @classmethod
     def tree_unflatten(cls, aux: _Aux, children):

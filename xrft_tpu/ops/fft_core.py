@@ -63,6 +63,13 @@ def _dispatch(x, axes, kind, engine=None, pre_shift_axes=(),
               post_shift_axes=(), post_kind="fftshift"):
     if isinstance(axes, int):
         axes = [axes]
+    if isinstance(x, carray.CDF64):
+        # df64 quad reaching an f32-grade engine (e.g. a jit-staged
+        # complex128 LabeledArray, see labeled.tree_flatten): the hi limbs
+        # ARE the correctly rounded f32 values
+        x = carray.ComplexPair(x.rh, x.ih)
+    elif isinstance(x, carray.DF64):
+        x = x.hi
     split_in = is_pair(x)
     if not split_in and not isinstance(x, jax.Array):
         arr = np.asarray(x)

@@ -96,6 +96,19 @@ def _check_bad_transform_coords(da: LabeledArray, dim):
             )
 
 
+def _degrade_quad(da: LabeledArray) -> LabeledArray:
+    """df64 quad data reaching an f32-grade engine — e.g. a jit-staged
+    host-complex128 LabeledArray (labeled.tree_flatten emits CDF64 on
+    split-complex backends) — degrades to its correctly rounded f32
+    representation (the hi limbs)."""
+    data = da.data
+    if isinstance(data, carray.CDF64):
+        return da.copy(data=carray.ComplexPair(data.rh, data.ih))
+    if isinstance(data, carray.DF64):
+        return da.copy(data=data.hi)
+    return da
+
+
 def _stack_segments(da: LabeledArray, dim, suffix="_segment") -> LabeledArray:
     """Reshape each transform dim into (<dim>_segment, <dim>) according to
     the array's declared chunk lengths (Welch/Bartlett segmenting; the TPU
@@ -195,6 +208,8 @@ def fft(
         return fft_hp(da, spacing_tol, dim, real_dim, shift, detrend,
                       window, true_phase, true_amplitude, prefix,
                       chunks_to_segments=chunks_to_segments)
+
+    da = _degrade_quad(da)
 
     if real_dim is not None:
         if real_dim not in da.dims:
@@ -346,6 +361,8 @@ def ifft(
         return ifft_hp(daft, spacing_tol, dim, real_dim, shift, true_phase,
                        true_amplitude, prefix, lag, chunks_to_segments)
 
+    daft = _degrade_quad(daft)
+
     if real_dim is not None:
         if real_dim not in daft.dims:
             raise ValueError(
@@ -387,6 +404,8 @@ def ifft(
 
     if true_phase:
         for d, l in zip(dim, lag):
+            if float(l) == 0.0:
+                continue  # exp(0) = 1: skip the identity multiply pass
             c = _dim_coord(daft, d)
             phase = carray.exp_i(2.0 * np.pi * c.values * float(l), like=daft.data)
             pl = LabeledArray(phase, dims=(d,),
