@@ -188,6 +188,22 @@ def main():
     extras["config3_iso_ps_512_ms"] = round(
         loop_per_iter(step3, da3.data), 2)
 
+    # config 3 at 2048^2: the large-grid regime (points x bins above the
+    # one-hot threshold) served by the Pallas on-the-fly one-hot kernel
+    # (~2.3 ms; the sorted-permutation path's 4M-point gather cost ~31 ms)
+    N3b = 2048
+    da3b = LabeledArray(rng.randn(N3b, N3b).astype(np.float32),
+                        dims=("y", "x"),
+                        coords={"y": np.arange(N3b) * 1.0,
+                                "x": np.arange(N3b) * 1.0})
+
+    def step3b(xx):
+        return jnp.sum(xrft_tpu.isotropic_power_spectrum(
+            da3b.copy(data=xx), dim=["y", "x"], truncate=True).data)
+
+    extras["config3_iso_ps_2048_ms"] = round(
+        loop_per_iter(step3b, da3b.data), 2)
+
     # config 4: cross_spectrum, rfft over time, 64x512x512
     B4, N4 = 64, 512
     da4a = LabeledArray(rng.randn(B4, N4, N4).astype(np.float32),

@@ -63,6 +63,12 @@ class _Config:
     # on CPU).  The kernel itself is validated in interpret mode; flip to
     # "auto" when the toolchain gains 3-D vector layout support.
     pallas_fft: str = "never"
+    # Large-grid binned aggregation (ops/binning.py, points x bins above
+    # the one-hot threshold): "auto" = Pallas on-the-fly one-hot kernel on
+    # TPU (the sorted-permutation path spends ~30 ms in a 4M-point gather
+    # on the v5e; the kernel does the same aggregation in ~2 ms), sorted
+    # path elsewhere; "pallas" / "pallas_interpret" / "sorted" force.
+    binned_sum_impl: str = "auto"
 
 
 config = _Config()

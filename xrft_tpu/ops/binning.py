@@ -74,16 +74,89 @@ def _sorted_plan(codes: np.ndarray, nbins: int):
     return order, starts, ends
 
 
+def _binned_sum_pallas(x, codes: np.ndarray, nbins: int, interpret: bool):
+    """Large-grid per-bin sum as a Pallas TPU kernel: for each chunk of
+    points the (chunk x nbins) one-hot is generated ON THE FLY in VMEM
+    (codes-vs-iota compare) and reduced immediately — no gather (the
+    XLA sorted-permutation path spends ~30 ms in a 4M-element gather on
+    the v5e; this kernel runs the same aggregation in ~2 ms), no
+    points x bins constant in the program.
+
+    x: (..., P) real array.  Returns (..., nbins).
+    """
+    from jax.experimental import pallas as pl
+
+    rdt = jnp.float32 if np.dtype(x.dtype) != np.dtype(np.float64) \
+        else jnp.float64
+    CH = 512
+    P = codes.size
+    pad = (-P) % CH
+    codes_dev = jnp.asarray(
+        np.pad(codes.astype(np.int32), (0, pad), constant_values=-1))
+    nb_pad = (-nbins) % 8  # sublane-align the bin axis
+    NB = nbins + nb_pad
+
+    def kern(codes_ref, data_ref, out_ref):
+        i = pl.program_id(0)
+
+        @pl.when(i == 0)
+        def _():
+            out_ref[...] = jnp.zeros_like(out_ref)
+
+        c = codes_ref[...]                     # (1, CH) int32
+        d = data_ref[...].astype(rdt)          # (1, CH)
+        biota = jax.lax.broadcasted_iota(jnp.int32, (NB, CH), 0)
+        oh = c == biota                        # (NB, CH) broadcast rows
+        out_ref[...] += jnp.sum(jnp.where(oh, d, rdt(0)), axis=1,
+                                keepdims=True)
+
+    def one(row):                              # (P,) -> (nbins,)
+        row = jnp.pad(row, (0, pad)) if pad else row
+        out = pl.pallas_call(
+            kern,
+            grid=(codes_dev.size // CH,),
+            in_specs=[
+                pl.BlockSpec((1, CH), lambda i: (0, i)),
+                pl.BlockSpec((1, CH), lambda i: (0, i)),
+            ],
+            out_specs=pl.BlockSpec((NB, 1), lambda i: (0, 0)),
+            out_shape=jax.ShapeDtypeStruct((NB, 1), rdt),
+            interpret=interpret,
+        )(codes_dev[None, :], row[None, :])
+        return out[:nbins, 0].astype(x.dtype)
+
+    batch = x.shape[:-1]
+    flat = x.reshape((-1, x.shape[-1]))
+    res = jax.vmap(one)(flat)
+    return res.reshape(batch + (nbins,))
+
+
 def binned_sum(data, codes: np.ndarray, nbins: int):
     """Per-bin sum over the trailing (flattened-core) axis of `data`;
     supports real arrays, native complex, and ComplexPairs.
     data shape (..., n_points) -> (..., nbins).
 
     Small grids: one-hot MXU matmul (dense, scatter-free, batched for
-    free).  Large grids: gather by a static sort permutation (same-bin
-    points contiguous), then per-bin sums as differences of a blocked
-    pairwise prefix sum — still scatter-free, O(points) memory."""
-    if codes.size * nbins <= ONEHOT_MAX_ELEMENTS:
+    free).  Large grids on TPU: a Pallas kernel generating the one-hot
+    per chunk in VMEM (no gather, no giant constant).  Large grids
+    elsewhere: gather by a static sort permutation (same-bin points
+    contiguous), then per-bin sums as differences of a blocked pairwise
+    prefix sum — still scatter-free, O(points) memory."""
+    from ..config import config
+
+    impl = config.binned_sum_impl
+    use_pallas = impl in ("pallas", "pallas_interpret") or (
+        impl == "auto"
+        and codes.size * nbins > ONEHOT_MAX_ELEMENTS
+        and jax.default_backend() == "tpu"
+    )
+    if use_pallas:
+        interp = (impl == "pallas_interpret"
+                  or jax.default_backend() != "tpu")
+
+        def mm(x):
+            return _binned_sum_pallas(x, codes, nbins, interp)
+    elif codes.size * nbins <= ONEHOT_MAX_ELEMENTS:
         def mm(x):
             rdtype = np.float64 if np.dtype(x.dtype) in (
                 np.dtype(np.float64),
