@@ -68,7 +68,7 @@ def main():
 
     def one_sided(xx):
         # fused path up to (and incl.) raw->standard, no Hermitian mirror
-        out = psd_fused.fused_one_sided_psd(
+        out, _ = psd_fused.fused_one_sided_psd(
             da.copy(data=xx), ["y", "x"], "x", True, 1.0,
             {"window": "hann", "detrend": "linear"})
         return out.data

@@ -69,6 +69,15 @@ class _Config:
     # on the v5e; the kernel does the same aggregation in ~2 ms), sorted
     # path elsewhere; "pallas" / "pallas_interpret" / "sorted" force.
     binned_sum_impl: str = "auto"
+    # Hermitian mirror for the fused two-sided PSD (ops/pallas_mirror.py):
+    # "xla" (default) = reverse/concat HLOs.  A single-pass Pallas kernel
+    # exists ("pallas" / "pallas_interpret" to force) and is bit-exact,
+    # but measured a NET LOSS on the v5e flagship (22.7 vs 20.7 ms
+    # end-to-end): the butterfly-roll reversals are VPU-bound (~5.5 ms
+    # standalone vs 6.2 for XLA's reverse) and, being opaque to XLA's
+    # scheduler, the kernel forfeits the overlap with the engine's dots
+    # that the HLO mirror enjoys.  "auto" currently = "xla".
+    psd_mirror_impl: str = "xla"
 
 
 config = _Config()

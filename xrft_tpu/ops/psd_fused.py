@@ -92,14 +92,19 @@ def _host_window(window, n: int) -> np.ndarray:
                       dtype=np.float64)
 
 
-def fused_one_sided_psd(da, dims, half_dim, shift, scale, kwargs):
+def fused_one_sided_psd(da, dims, half_dim, shift, scale, kwargs,
+                        want_padded=False):
     """One-sided PSD of real `da` over `dims` as a single fused program.
 
-    Returns a LabeledArray shaped like ``fft(da, real_dim=half_dim)`` —
-    frequency dims renamed/coord'ed, non-half axes fftshifted when
-    ``shift`` — whose data is already ``scale * |F|^2`` (``scale`` folds
-    true-amplitude and density/window-correction factors).  The caller
-    expands it to the two-sided grid via the Hermitian mirror.
+    Returns ``(out, padded)``: `out` is a LabeledArray shaped like
+    ``fft(da, real_dim=half_dim)`` — frequency dims renamed/coord'ed,
+    non-half axes fftshifted when ``shift`` — whose data is already
+    ``scale * |F|^2`` (``scale`` folds true-amplitude and
+    density/window-correction factors).  The caller expands it to the
+    two-sided grid via the Hermitian mirror.  With ``want_padded`` the
+    second element is the UNSLICED engine-width array (half axis last,
+    caller dim order) for the Pallas mirror kernel — the slice that
+    produces `out.data` is then dead code under jit.
     """
     from ..transform import _check_bad_transform_coords, _dim_coord
 
@@ -188,8 +193,19 @@ def fused_one_sided_psd(da, dims, half_dim, shift, scale, kwargs):
 
     psd = (re * re + im * im) * jnp.asarray(scale, dtype=rdt)
     order_in_transposed = [newdims.index(d) for d in orig_dims]
-    std = stacked_fft.raw_to_standard(psd, layout,
-                                      axis_order=order_in_transposed)
+    padded = None
+    if want_padded:
+        padded = stacked_fft.raw_to_standard(psd, layout,
+                                             axis_order=order_in_transposed,
+                                             prune_slice=False)
+        half_pos = orig_dims.index(half_dim)
+        n = da.sizes[half_dim]
+        import jax.lax as _lax
+
+        std = _lax.slice_in_dim(padded, 0, n // 2 + 1, axis=half_pos)
+    else:
+        std = stacked_fft.raw_to_standard(psd, layout,
+                                          axis_order=order_in_transposed)
 
     # output metadata: identical to fft(da, real_dim=half_dim,
     # shift=False, _shift_nonreal=shift) — one-sided half axis, shifted
@@ -208,4 +224,5 @@ def fused_one_sided_psd(da, dims, half_dim, shift, scale, kwargs):
     for d, kk in zip(dims, k):
         fd = swap[d]
         out_coords[fd] = Coord((fd,), kk, {"spacing": kk[1] - kk[0]}, fd)
-    return LabeledArray(std, dims=out_dims, coords=out_coords, name=da.name)
+    out = LabeledArray(std, dims=out_dims, coords=out_coords, name=da.name)
+    return out, padded

@@ -278,10 +278,12 @@ def _axis_dig_positions(layout, ax):
     return [dims.index(_dig(ax, lvl)) for lvl in reversed(range(len(F)))]
 
 
-def raw_to_standard(x, layout, axis_order=None):
+def raw_to_standard(x, layout, axis_order=None, prune_slice=True):
     """Restore a real reduced raw-layout array (an elementwise reduction
     of the planes, e.g. |F|^2) to standard frequency order with ONE
-    reshape pass; slices the pruned rfft axis to its one-sided length.
+    reshape pass; slices the pruned rfft axis to its one-sided length
+    (``prune_slice=False`` keeps the engine-padded width — the Pallas
+    mirror kernel consumes it directly and ignores the tail columns).
     ``axis_order`` emits the original axes in an arbitrary order (the
     permutation rides the same single pass for free)."""
     perm, new_sizes = [], []
@@ -298,7 +300,7 @@ def raw_to_standard(x, layout, axis_order=None):
             perm.append(p)
             new_sizes.append(x.shape[p])
     out = lax.reshape(x, tuple(new_sizes), dimensions=tuple(perm))
-    if prune_pos is not None:
+    if prune_pos is not None and prune_slice:
         n = layout.in_shape[layout.prune_axis]
         out = lax.slice_in_dim(out, 0, n // 2 + 1, axis=prune_pos)
     return out

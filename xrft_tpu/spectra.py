@@ -220,7 +220,16 @@ def _hermitian_expand(half, daft, da, dims, half_dim, kwargs, shift,
     full = pieces[0] if len(pieces) == 1 \
         else carray.concatenate(pieces, axis=ax_half)
 
-    # rebuild coordinates for the full two-sided grid
+    return LabeledArray(full, dims=daft.dims,
+                        coords=_two_sided_coords(daft, da, dims, half_dim,
+                                                 kwargs, shift, n_full),
+                        name=da.name)
+
+
+def _two_sided_coords(daft, da, dims, half_dim, kwargs, shift, n_full):
+    """Coordinates for the full two-sided grid reconstructed from a
+    one-sided `daft` (shared by the HLO and Pallas mirror paths)."""
+    fd = {d: ce.freq_dim_name(d, kwargs.get("prefix", "freq_")) for d in dims}
     delta = [
         ce.get_coordinate_spacing(_dim_coord(da, d),
                                   kwargs.get("spacing_tol", 1e-3))
@@ -233,8 +242,34 @@ def _hermitian_expand(half, daft, da, dims, half_dim, kwargs, shift,
     for d, g in zip(dims, grids):
         out_coords[fd[d]] = Coord((fd[d],), g, {"spacing": g[1] - g[0]},
                                   fd[d])
-    return LabeledArray(full, dims=daft.dims, coords=out_coords,
-                        name=da.name)
+    return out_coords
+
+
+def _mirror_kernel_applicable(da, dims, half_dim) -> bool:
+    """True when the single-pass Pallas mirror kernel can expand this
+    request's one-sided PSD: config/backend allow it, exactly one
+    non-half transform dim sitting immediately left of the trailing half
+    dim, and kernel-friendly (256/512-multiple) sizes."""
+    from .config import config
+    from .ops import pallas_mirror
+
+    impl = config.psd_mirror_impl
+    if impl in ("xla", "auto"):
+        # "auto" resolves to the HLO mirror: the Pallas kernel measured a
+        # net loss in-pipeline (see config.psd_mirror_impl)
+        return False
+    if len(dims) != 2:
+        return False
+    od = da.dims
+    if len(od) < 2 or od[-1] != half_dim:
+        return False
+    other = [d for d in dims if d != half_dim][0]
+    if od[-2] != other:
+        return False
+    n_full = da.sizes[half_dim]
+    ny = da.sizes[other]
+    return pallas_mirror.mirror_applicable(
+        (ny, n_full // 2 + 1), n_full, np.dtype(da.data.dtype))
 
 
 def _power_spectrum_via_rfft(da, dim, half_dim, kwargs, prescale=None):
@@ -268,8 +303,26 @@ def _power_spectrum_via_rfft(da, dim, half_dim, kwargs, prescale=None):
 
     if psd_fused.fused_psd_applicable(da, dims, half_dim, shift, kwargs):
         scale = amp2 if prescale is None else amp2 * prescale
-        daft = psd_fused.fused_one_sided_psd(da, dims, half_dim, shift,
-                                             scale, kwargs)
+        want_padded = _mirror_kernel_applicable(da, dims, half_dim)
+        daft, padded = psd_fused.fused_one_sided_psd(
+            da, dims, half_dim, shift, scale, kwargs,
+            want_padded=want_padded)
+        if padded is not None:
+            import jax
+
+            from .config import config
+            from .ops import pallas_mirror
+
+            interp = (config.psd_mirror_impl == "pallas_interpret"
+                      or jax.default_backend() == "cpu")
+            full = pallas_mirror.mirror_two_sided(
+                padded, n_full, shift, interpret=interp)
+            out_dims = list(daft.dims)
+            return LabeledArray(
+                full, dims=out_dims,
+                coords=_two_sided_coords(daft, da, dims, half_dim, kwargs,
+                                         shift, n_full),
+                name=da.name)
         return _hermitian_expand(daft.data, daft, da, dims, half_dim,
                                  kwargs, shift, conj_mirror=False)
 
