@@ -192,3 +192,54 @@ def test_engine_pre_weights_parity():
     got2 = carray.to_numpy(stacked_fft.fft_nd_stacked(
         x2, [1], "fft", pre_weights={1: w2}))
     npt.assert_allclose(got2, ref2, atol=1e-12 * np.abs(ref2).max())
+
+
+def test_fused_cross_spectrum_parity():
+    """The fused raw-layout cross spectrum equals the generic two-fft
+    path for both true_phase settings (the phase factors cancel exactly
+    in F1*conj(F2) for shared ascending coords)."""
+    from xrft_tpu.config import config as _cfg
+    from xrft_tpu.ops import carray
+
+    rng = np.random.RandomState(7)
+    B, NY, NX = 2, 64, 96
+    coords = {"y": np.arange(NY) * 0.5, "x": np.arange(NX) * 0.25}
+    a = LabeledArray(rng.randn(B, NY, NX), dims=("t", "y", "x"),
+                     coords=coords)
+    b = LabeledArray(rng.randn(B, NY, NX), dims=("t", "y", "x"),
+                     coords=coords)
+    for tp in (True, False):
+        for kw in ({}, dict(window="hann", detrend="linear"),
+                   dict(shift=False)):
+            got = xrft_tpu.cross_spectrum(a, b, dim=["y", "x"],
+                                          true_phase=tp, **kw)
+            old = _cfg.stacked_fft
+            _cfg.stacked_fft = "never"  # forces the generic two-fft path
+            try:
+                ref = xrft_tpu.cross_spectrum(a, b, dim=["y", "x"],
+                                              true_phase=tp, **kw)
+            finally:
+                _cfg.stacked_fft = old
+            g = carray.to_numpy(got.data)
+            r = carray.to_numpy(ref.data)
+            scale = np.abs(r).max()
+            npt.assert_allclose(g / scale, r / scale, atol=2e-6)
+            assert got.dims == ref.dims
+
+
+def test_fused_cross_decreasing_coords_excluded():
+    """Decreasing coords under true_phase conjugate both transforms and
+    flip Im(C)'s sign — the fused route must decline and the generic
+    path keep reference semantics."""
+    from xrft_tpu.ops import psd_fused
+
+    rng = np.random.RandomState(8)
+    NX = 32
+    coords = {"x": (np.arange(NX) * 1.0)[::-1]}
+    a = LabeledArray(rng.randn(4, NX), dims=("t", "x"), coords=coords)
+    b = LabeledArray(rng.randn(4, NX), dims=("t", "x"), coords=coords)
+    assert not psd_fused.fused_cross_applicable(
+        a, b, ["x"], "x", True, {}, True)
+    # and the public function still works (generic path)
+    out = xrft_tpu.cross_spectrum(a, b, dim=["x"], true_phase=True)
+    assert "freq_x" in out.dims

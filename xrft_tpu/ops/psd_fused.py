@@ -48,7 +48,8 @@ from ..labeled import Coord, LabeledArray
 from . import carray, stacked_fft
 from .window import WINDOW_TYPES
 
-__all__ = ["fused_psd_applicable", "fused_one_sided_psd"]
+__all__ = ["fused_psd_applicable", "fused_one_sided_psd",
+           "fused_cross_applicable", "fused_one_sided_cross"]
 
 # every kwarg the fused path understands; anything else falls back to the
 # generic fft-based path (which will raise on genuinely unknown kwargs)
@@ -92,24 +93,15 @@ def _host_window(window, n: int) -> np.ndarray:
                       dtype=np.float64)
 
 
-def fused_one_sided_psd(da, dims, half_dim, shift, scale, kwargs,
-                        want_padded=False):
-    """One-sided PSD of real `da` over `dims` as a single fused program.
-
-    Returns ``(out, padded)``: `out` is a LabeledArray shaped like
-    ``fft(da, real_dim=half_dim)`` — frequency dims renamed/coord'ed,
-    non-half axes fftshifted when ``shift`` — whose data is already
-    ``scale * |F|^2`` (``scale`` folds true-amplitude and
-    density/window-correction factors).  The caller expands it to the
-    two-sided grid via the Hermitian mirror.  With ``want_padded`` the
-    second element is the UNSLICED engine-width array (half axis last,
-    caller dim order) for the Pallas mirror kernel — the slice that
-    produces `out.data` is then dead code under jit.
-    """
+def _fused_raw_rfft(da, dims, half_dim, shift, kwargs):
+    """Shared front half of the fused one-sided estimators: coordinate
+    validation, layout steering (transpose + optimization_barrier),
+    detrend, window, and the stacked raw rfft.  Returns
+    ``(re, im, layout, ctx)`` with the raw-layout planes and the metadata
+    the estimator tails need."""
     from ..transform import _check_bad_transform_coords, _dim_coord
 
     spacing_tol = kwargs.get("spacing_tol", 1e-3)
-    prefix = kwargs.get("prefix", "freq_")
     window = kwargs.get("window")
     detrend = kwargs.get("detrend")
     if window is True:
@@ -190,32 +182,22 @@ def fused_one_sided_psd(da, dims, half_dim, shift, scale, kwargs,
         data, axes, "rfft", (), post_axes, pre_weights=pre_weights,
         raw=True)
     re, im = stacked_fft.raw_planes(a_raw, layout)
+    ctx = dict(orig_dims=orig_dims, newdims=newdims, N=N, delta=delta,
+               da=da, rdt=rdt)
+    return re, im, layout, ctx
 
-    psd = (re * re + im * im) * jnp.asarray(scale, dtype=rdt)
-    order_in_transposed = [newdims.index(d) for d in orig_dims]
-    padded = None
-    if want_padded:
-        padded = stacked_fft.raw_to_standard(psd, layout,
-                                             axis_order=order_in_transposed,
-                                             prune_slice=False)
-        half_pos = orig_dims.index(half_dim)
-        n = da.sizes[half_dim]
-        import jax.lax as _lax
 
-        std = _lax.slice_in_dim(padded, 0, n // 2 + 1, axis=half_pos)
-    else:
-        std = stacked_fft.raw_to_standard(psd, layout,
-                                          axis_order=order_in_transposed)
-
-    # output metadata: identical to fft(da, real_dim=half_dim,
-    # shift=False, _shift_nonreal=shift) — one-sided half axis, shifted
-    # non-half grids
-    k = ce.freq_grids(N, delta, True, False)
+def _one_sided_labeled(std, ctx, dims, half_dim, shift, prefix, name):
+    """Output metadata tail: identical to ``fft(da, real_dim=half_dim,
+    shift=False, _shift_nonreal=shift)`` — one-sided half axis, shifted
+    non-half grids."""
+    da = ctx["da"]
+    k = ce.freq_grids(ctx["N"], ctx["delta"], True, False)
     if shift:
         k = [np.fft.fftshift(kk) if d != half_dim else kk
              for kk, d in zip(k, dims)]
     swap = {d: ce.freq_dim_name(d, prefix) for d in dims}
-    out_dims = [swap.get(d, d) for d in orig_dims]
+    out_dims = [swap.get(d, d) for d in ctx["orig_dims"]]
     out_coords = {}
     for cname, c in da.coords.items():
         if cname in dims:
@@ -224,5 +206,97 @@ def fused_one_sided_psd(da, dims, half_dim, shift, scale, kwargs,
     for d, kk in zip(dims, k):
         fd = swap[d]
         out_coords[fd] = Coord((fd,), kk, {"spacing": kk[1] - kk[0]}, fd)
-    out = LabeledArray(std, dims=out_dims, coords=out_coords, name=da.name)
+    return LabeledArray(std, dims=out_dims, coords=out_coords, name=name)
+
+
+def fused_one_sided_psd(da, dims, half_dim, shift, scale, kwargs,
+                        want_padded=False):
+    """One-sided PSD of real `da` over `dims` as a single fused program.
+
+    Returns ``(out, padded)``: `out` is a LabeledArray shaped like
+    ``fft(da, real_dim=half_dim)`` — frequency dims renamed/coord'ed,
+    non-half axes fftshifted when ``shift`` — whose data is already
+    ``scale * |F|^2`` (``scale`` folds true-amplitude and
+    density/window-correction factors).  The caller expands it to the
+    two-sided grid via the Hermitian mirror.  With ``want_padded`` the
+    second element is the UNSLICED engine-width array (half axis last,
+    caller dim order) for the Pallas mirror kernel — the slice that
+    produces `out.data` is then dead code under jit.
+    """
+    prefix = kwargs.get("prefix", "freq_")
+    re, im, layout, ctx = _fused_raw_rfft(da, dims, half_dim, shift, kwargs)
+    rdt = ctx["rdt"]
+    orig_dims = ctx["orig_dims"]
+
+    psd = (re * re + im * im) * jnp.asarray(scale, dtype=rdt)
+    order_in_transposed = [ctx["newdims"].index(d) for d in orig_dims]
+    padded = None
+    if want_padded:
+        padded = stacked_fft.raw_to_standard(psd, layout,
+                                             axis_order=order_in_transposed,
+                                             prune_slice=False)
+        half_pos = orig_dims.index(half_dim)
+        n = ctx["da"].sizes[half_dim]
+        import jax.lax as _lax
+
+        std = _lax.slice_in_dim(padded, 0, n // 2 + 1, axis=half_pos)
+    else:
+        std = stacked_fft.raw_to_standard(psd, layout,
+                                          axis_order=order_in_transposed)
+    out = _one_sided_labeled(std, ctx, dims, half_dim, shift, prefix,
+                             ctx["da"].name)
     return out, padded
+
+
+def fused_cross_applicable(da1, da2, dims, half_dim, shift, kwargs,
+                           true_phase) -> bool:
+    """Fused raw-layout route for the cross spectrum of two real inputs.
+
+    true_phase factors cancel EXACTLY in ``F1 * conj(F2)`` when both
+    inputs share identical transform coordinates (the same unit-modulus
+    per-frequency factor multiplies both transforms), so the fused path
+    also serves ``true_phase=True`` — except for decreasing coordinates,
+    whose flip conjugates both transforms and flips the sign of the
+    cross-spectrum's imaginary part (reference flip at
+    ``/root/reference/xrft/xrft.py:435-442``)."""
+    kw = {k: v for k, v in kwargs.items() if k != "true_phase"}
+    for da in (da1, da2):
+        if not fused_psd_applicable(da, dims, half_dim, shift, kw):
+            return False
+    for d in dims:
+        c1, c2 = da1.coords.get(d), da2.coords.get(d)
+        if (c1 is None) != (c2 is None):
+            return False
+        if c1 is not None:
+            v1 = np.asarray(c1.values)
+            v2 = np.asarray(c2.values)
+            if v1.dtype.kind not in "fiu" or v2.dtype.kind not in "fiu" \
+                    or not np.array_equal(v1, v2):
+                return False
+            if true_phase and v1.size >= 2 and v1[-1] < v1[0]:
+                return False
+    return True
+
+
+def fused_one_sided_cross(da1, da2, dims, half_dim, shift, scale, kwargs):
+    """One-sided ``F(da1) * conj(F(da2))`` of two real inputs as a fused
+    raw-layout program: both stacked rffts share one layout, the
+    conjugated product and the scale run on the raw planes, and only the
+    half-size complex result pays the restore passes (one per plane) —
+    the per-input epilogues of the generic two-fft path are skipped
+    entirely.  Reference semantics: ``/root/reference/xrft/xrft.py:816-825``.
+    """
+    prefix = kwargs.get("prefix", "freq_")
+    r1, i1, layout, ctx = _fused_raw_rfft(da1, dims, half_dim, shift,
+                                          kwargs)
+    r2, i2, _, _ = _fused_raw_rfft(da2, dims, half_dim, shift, kwargs)
+    s = jnp.asarray(scale, dtype=ctx["rdt"])
+    cre = (r1 * r2 + i1 * i2) * s
+    cim = (i1 * r2 - r1 * i2) * s
+    order = [ctx["newdims"].index(d) for d in ctx["orig_dims"]]
+    std = carray.ComplexPair(
+        stacked_fft.raw_to_standard(cre, layout, axis_order=order),
+        stacked_fft.raw_to_standard(cim, layout, axis_order=order),
+    )
+    return _one_sided_labeled(std, ctx, dims, half_dim, shift, prefix,
+                              None)

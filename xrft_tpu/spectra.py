@@ -349,6 +349,22 @@ def _cross_spectrum_via_rfft(da1, da2, dim, half_dim, kwargs, prescale,
         ce.get_coordinate_spacing(_dim_coord(da1, d),
                                   kwargs.get("spacing_tol", 1e-3))
         for d in dims])) ** 2
+
+    # fully fused route: both stacked rffts share one raw layout, the
+    # conjugated product runs there, and only the half-size complex
+    # result pays restore passes (see ops/psd_fused.py)
+    from .ops import psd_fused
+
+    if psd_fused.fused_cross_applicable(da1, da2, dims, half_dim, shift,
+                                        kwargs, true_phase):
+        scale = amp2 if prescale is None else amp2 * prescale
+        daft = psd_fused.fused_one_sided_cross(da1, da2, dims, half_dim,
+                                               shift, scale, kwargs)
+        out = _hermitian_expand(daft.data, daft, da1, dims, half_dim,
+                                kwargs, shift, conj_mirror=True)
+        out.name = None
+        return out
+
     daft1 = fft(da1, dim=dims, real_dim=half_dim, shift=shift,
                 _shift_nonreal=True, true_phase=true_phase, **kwargs)
     daft2 = fft(da2, dim=dims, real_dim=half_dim, shift=shift,
