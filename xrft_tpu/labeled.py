@@ -200,7 +200,7 @@ class LabeledArray:
     metadata preservation.
     """
 
-    __slots__ = ("data", "dims", "coords", "attrs", "name")
+    __slots__ = ("data", "dims", "coords", "attrs", "name", "_quad_cache")
 
     def __init__(self, data, dims=None, coords=None, attrs=None, name=None):
         if isinstance(data, LabeledArray):
@@ -343,11 +343,21 @@ class LabeledArray:
             from .ops.fft_core import use_split_complex
 
             if use_split_complex():
-                from .ops.df64 import split_f64_np
+                # flatten runs on EVERY jit dispatch: cache the host df64
+                # split per data object (4 full-array numpy passes saved
+                # per call; invalidated when .data is replaced)
+                cached = getattr(self, "_quad_cache", None)
+                if cached is not None and cached[0] is data:
+                    data = cached[1]
+                else:
+                    from .ops.df64 import split_f64_np
 
-                rh, rl = split_f64_np(np.ascontiguousarray(data.real))
-                ih, il = split_f64_np(np.ascontiguousarray(data.imag))
-                data = carray.CDF64(rh, rl, ih, il)
+                    rh, rl = split_f64_np(np.ascontiguousarray(data.real))
+                    ih, il = split_f64_np(np.ascontiguousarray(data.imag))
+                    quad = carray.CDF64(jnp.asarray(rh), jnp.asarray(rl),
+                                        jnp.asarray(ih), jnp.asarray(il))
+                    self._quad_cache = (data, quad)
+                    data = quad
         return (data,), _Aux(self.dims, self.coords, self.attrs, self.name)
 
     @classmethod

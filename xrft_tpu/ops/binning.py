@@ -145,6 +145,8 @@ def binned_sum(data, codes: np.ndarray, nbins: int):
     from ..config import config
 
     impl = config.binned_sum_impl
+    if impl not in ("auto", "pallas", "pallas_interpret", "sorted"):
+        raise ValueError(f"unknown binned_sum_impl {impl!r}")
     use_pallas = impl in ("pallas", "pallas_interpret") or (
         impl == "auto"
         and codes.size * nbins > ONEHOT_MAX_ELEMENTS
@@ -156,7 +158,7 @@ def binned_sum(data, codes: np.ndarray, nbins: int):
 
         def mm(x):
             return _binned_sum_pallas(x, codes, nbins, interp)
-    elif codes.size * nbins <= ONEHOT_MAX_ELEMENTS:
+    elif impl != "sorted" and codes.size * nbins <= ONEHOT_MAX_ELEMENTS:
         def mm(x):
             rdtype = np.float64 if np.dtype(x.dtype) in (
                 np.dtype(np.float64),

@@ -254,6 +254,8 @@ def _mirror_kernel_applicable(da, dims, half_dim) -> bool:
     from .ops import pallas_mirror
 
     impl = config.psd_mirror_impl
+    if impl not in ("xla", "auto", "pallas", "pallas_interpret"):
+        raise ValueError(f"unknown psd_mirror_impl {impl!r}")
     if impl in ("xla", "auto"):
         # "auto" resolves to the HLO mirror: the Pallas kernel measured a
         # net loss in-pipeline (see config.psd_mirror_impl)
@@ -314,7 +316,7 @@ def _power_spectrum_via_rfft(da, dim, half_dim, kwargs, prescale=None):
             from .ops import pallas_mirror
 
             interp = (config.psd_mirror_impl == "pallas_interpret"
-                      or jax.default_backend() == "cpu")
+                      or jax.default_backend() != "tpu")
             full = pallas_mirror.mirror_two_sided(
                 padded, n_full, shift, interpret=interp)
             out_dims = list(daft.dims)
