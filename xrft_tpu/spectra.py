@@ -414,6 +414,20 @@ def power_spectrum(
     # true_phase does not matter for |F|^2; forced off to skip phase work
     kwargs.update({"true_amplitude": True, "true_phase": False})
 
+    if kwargs.get("chunks_to_segments"):
+        # stack ONCE up front (reference order: segments, then
+        # detrend/window, xrft.py:390-433): downstream the segment dims
+        # are plain batch dims, so the one-sided fast path and the fused
+        # engine route serve Welch estimates too, and every size-derived
+        # factor (density Delta-f, real-dim doubling, window correction)
+        # is per-segment automatically
+        from .transform import _stack_segments
+
+        dim = _norm_dim_list(da, dim)  # pin BEFORE the segment dims exist
+        da = _stack_segments(da, dim)
+        kwargs = {k: v for k, v in kwargs.items()
+                  if k != "chunks_to_segments"}
+
     half = _half_spectrum_dim(da, dim, real_dim, kwargs)
     if half is not None:
         # fold the scalar density/window factors into the |.|^2 pass
@@ -483,6 +497,16 @@ def cross_spectrum(
 
     if tuple(da1.dims) != tuple(da2.dims):
         raise ValueError("The two datasets have different dimensions")
+
+    if kwargs.get("chunks_to_segments"):
+        # stack once up front; see power_spectrum
+        from .transform import _stack_segments
+
+        dim = _norm_dim_list(da1, dim)  # pin BEFORE the segment dims exist
+        da1 = _stack_segments(da1, dim)
+        da2 = _stack_segments(da2, dim)
+        kwargs = {k: v for k, v in kwargs.items()
+                  if k != "chunks_to_segments"}
 
     # Hermitian one-sided fast path for two real inputs (the symmetry
     # survives the phase factors: conj(e^{-i t}) = e^{+i t})
