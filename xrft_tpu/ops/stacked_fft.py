@@ -107,6 +107,20 @@ def plan(n: int, cap: int) -> tuple[int, ...] | None:
         radices.append(r)
         rem //= r
     radices.append(rem)
+    if len(radices) == 2 and min(radices) < 16:
+        # Rebalance degenerate splits (e.g. 1024 -> (8, 128)): a tiny
+        # digit dim pads up to 16x under the TPU's (8, 128) tiling when
+        # it lands minor in an intermediate or the epilogue — measured
+        # as a 16 GB HLO temp (OOM) on a segmented 4096^2 pipeline.
+        # Prefer the most balanced two-factor split instead.
+        best = max(
+            (d for d in range(2, cap + 1)
+             if n % d == 0 and n // d <= cap),
+            key=lambda d: min(d, n // d),
+            default=None,
+        )
+        if best is not None and min(best, n // best) > min(radices):
+            radices = [best, n // best]
     # contraction order: big radix last
     return tuple(sorted(radices))
 
