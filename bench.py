@@ -224,6 +224,22 @@ def main():
     extras["config4_cross_spectrum_64x512x512_ms"] = round(
         loop_per_iter(step4, da4a.data), 2)
 
+    # engine="hp": the float64-grade jit pipeline (config-2 shape; the
+    # precision contract itself is pinned in scripts/chip_checks.py)
+    N5 = 256
+    da5 = LabeledArray(rng.randn(N5, N5).astype(np.float32),
+                       dims=("y", "x"),
+                       coords={"y": np.arange(N5) * 1.0,
+                               "x": np.arange(N5) * 1.0})
+
+    def step5(xx):
+        ps = xrft_tpu.power_spectrum(da5.copy(data=xx), dim=["y", "x"],
+                                     window="hann", detrend="linear",
+                                     engine="hp")
+        return jnp.sum(ps.data.hi)
+
+    extras["hp_psd_256_ms"] = round(loop_per_iter(step5, da5.data), 2)
+
     print(json.dumps({
         "metric": f"windowed+detrended power_spectrum {B}x{N}x{N} f32, "
                   f"end-to-end jit, per-iteration device time "
