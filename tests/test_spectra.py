@@ -307,3 +307,65 @@ def test_cross_spectrum_one_sided_fast_path_parity():
                           mkd(v2.astype(np.complex128)), dim=["y", "x"])
     scale = np.abs(slow.values).max()
     npt.assert_allclose(fast.values, slow.values, atol=1e-11 * scale)
+
+
+def test_segmented_real_dim_nyquist_parity():
+    """Deliberate reference divergence (documented in
+    _psd_real_dim_scaling): with chunks_to_segments the one-sided
+    real-dim doubling parity follows the SEGMENT length — the rfft runs
+    per segment, so the last bin is Nyquist iff the segment length is
+    even.  The reference takes the parity from the full input length
+    (/root/reference/xrft/xrft.py:678), mis-scaling that bin when the
+    parities differ.  N=6 segmented into two length-3 (odd) segments:
+    the last bin must be DOUBLED (it is not a Nyquist bin)."""
+    N, seg = 6, 3
+    rng = np.random.RandomState(5)
+    x = rng.randn(N)
+    da = LabeledArray(x, dims=["t"], coords={"t": np.arange(N) * 1.0}
+                      ).chunk({"t": seg})
+    ps = power_spectrum(da, dim=["t"], real_dim="t",
+                        chunks_to_segments=True, scaling="false_density")
+    # per-segment oracle: one-sided |rfft|^2 with odd-length doubling
+    segs = x.reshape(2, seg)
+    F = np.fft.rfft(segs, axis=-1)
+    ref = np.abs(F) ** 2
+    ref[:, 1:] *= 2.0  # odd seg length: every non-DC bin doubles
+    npt.assert_allclose(np.asarray(ps.values), ref, rtol=1e-6)
+    # engine='hp' agrees (same parity rule)
+    ps_hp = power_spectrum(da, dim=["t"], real_dim="t",
+                           chunks_to_segments=True,
+                           scaling="false_density", engine="hp")
+    npt.assert_allclose(np.asarray(ps_hp.values), ref, rtol=1e-10)
+
+
+@pytest.mark.parametrize("mode", MODES)
+def test_segmented_psd_fused_engine_parity(mode):
+    """chunks_to_segments through the fused matmul engine (the route TPU
+    takes) matches the xla engine, including interleaved *_segment batch
+    dims and cross spectra."""
+    from xrft_tpu.config import fft_engine
+
+    rng = np.random.RandomState(6)
+    N = 32
+    da = LabeledArray(rng.rand(N, N), dims=["x", "y"],
+                      coords={"x": range(N), "y": range(N)}
+                      ).chunk({"x": N // 2, "y": N // 2})
+    db = LabeledArray(rng.rand(N, N), dims=["x", "y"],
+                      coords={"x": range(N), "y": range(N)}
+                      ).chunk({"x": N // 2, "y": N // 2})
+    with complex_mode(mode):
+        with fft_engine("matmul"):
+            got = power_spectrum(da, window="hann", detrend="linear",
+                                 chunks_to_segments=True)
+            gotc = cross_spectrum(da, db, chunks_to_segments=True)
+        with fft_engine("xla"):
+            ref = power_spectrum(da, window="hann", detrend="linear",
+                                 chunks_to_segments=True)
+            refc = cross_spectrum(da, db, chunks_to_segments=True)
+    assert got.dims == ref.dims == ("x_segment", "freq_x",
+                                    "y_segment", "freq_y")
+    npt.assert_allclose(np.asarray(got.values), np.asarray(ref.values),
+                        atol=1e-6 * np.abs(np.asarray(ref.values)).max())
+    from xrft_tpu.ops.carray import to_numpy
+    g, r = to_numpy(gotc.data), to_numpy(refc.data)
+    npt.assert_allclose(g, r, atol=1e-6 * np.abs(r).max())

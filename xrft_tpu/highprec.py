@@ -521,6 +521,18 @@ def _scale_quad_real(h, l, s: float):
     return df64.mul(h, l, jnp.float32(hi), jnp.float32(lo))
 
 
+def _real_parity_n(da, real_dim, kwargs) -> int:
+    """Length deciding the one-sided Nyquist-bin parity: the SEGMENT
+    length under chunks_to_segments (the rfft runs per segment; same
+    deliberate reference divergence as spectra._psd_real_dim_scaling)."""
+    n = da.sizes[real_dim]
+    if kwargs.get("chunks_to_segments"):
+        chunks = getattr(da, "_chunks", None) or da.attrs.get("_chunks") \
+            or {}
+        n = chunks.get(real_dim, n)
+    return n
+
+
 def power_spectrum_hp(
     da: LabeledArray,
     dim=None,
@@ -558,7 +570,7 @@ def power_spectrum_hp(
         ax = daft.get_axis_num(fr)
         f = np.full(daft.sizes[fr], 2.0, np.float32)
         f[0] = 1.0
-        if da.sizes[real_dim] % 2 == 0:
+        if _real_parity_n(da, real_dim, kwargs) % 2 == 0:
             f[-1] = 1.0
         shape = [1] * h.ndim
         shape[ax] = f.size
@@ -638,7 +650,7 @@ def cross_spectrum_hp(
         ax = daft1.get_axis_num(fr)
         f = np.full(daft1.sizes[fr], 2.0, np.float32)
         f[0] = 1.0
-        if da1.sizes[real_dim] % 2 == 0:
+        if _real_parity_n(da1, real_dim, kwargs) % 2 == 0:
             f[-1] = 1.0
         shape = [1] * rh.ndim
         shape[ax] = f.size

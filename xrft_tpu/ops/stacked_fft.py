@@ -107,22 +107,40 @@ def plan(n: int, cap: int) -> tuple[int, ...] | None:
         radices.append(r)
         rem //= r
     radices.append(rem)
-    if len(radices) == 2 and min(radices) < 16:
-        # Rebalance degenerate splits (e.g. 1024 -> (8, 128)): a tiny
-        # digit dim pads up to 16x under the TPU's (8, 128) tiling when
-        # it lands minor in an intermediate or the epilogue — measured
-        # as a 16 GB HLO temp (OOM) on a segmented 4096^2 pipeline.
-        # Prefer the most balanced two-factor split instead.
-        best = max(
-            (d for d in range(2, cap + 1)
-             if n % d == 0 and n // d <= cap),
-            key=lambda d: min(d, n // d),
-            default=None,
-        )
-        if best is not None and min(best, n // best) > min(radices):
-            radices = [best, n // best]
+    if min(radices) < 16:
+        # Rebalance degenerate splits (1024 -> (8, 128),
+        # 32768 -> (2, 128, 128)): a tiny digit dim pads up to 16x under
+        # the TPU's (8, 128) tiling when it lands minor in an
+        # intermediate or the epilogue — measured as a 16 GB HLO temp
+        # (OOM) on a segmented 4096^2 pipeline.  Prefer the same-level
+        # factorization maximizing the smallest factor
+        # (1024 -> (32, 32), 32768 -> (32, 32, 32)).
+        bal = _balanced_factors(n, cap, len(radices))
+        if bal is not None and min(bal) > min(radices):
+            radices = list(bal)
     # contraction order: big radix last
     return tuple(sorted(radices))
+
+
+@lru_cache(maxsize=None)
+def _balanced_factors(n: int, cap: int, levels: int) -> tuple | None:
+    """Factor n into `levels` factors <= cap maximizing the smallest
+    factor (host-side, cached; used to rebalance degenerate plans)."""
+    if levels == 1:
+        return (n,) if n <= cap else None
+    target = round(n ** (1.0 / levels))
+    best = None
+    for d in sorted((d for d in range(2, cap + 1) if n % d == 0),
+                    key=lambda d: abs(d - target)):
+        rest = _balanced_factors(n // d, cap, levels - 1)
+        if rest is None:
+            continue
+        cand = tuple(sorted((d,) + rest))
+        if best is None or min(cand) > min(best):
+            best = cand
+            if min(best) >= target:
+                break
+    return best
 
 
 def _shifts_absorbable(n: int, F: tuple[int, ...], pre: bool,

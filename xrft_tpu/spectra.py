@@ -56,7 +56,15 @@ def _psd_scaling_factor(ps, dims, scaling):
 
 def _psd_real_dim_scaling(da, ps, real_dim, updated_dims):
     """One-sided spectrum doubling on the real freq axis, except DC (and
-    Nyquist when N even) (reference ``/root/reference/xrft/xrft.py:673-682``)."""
+    Nyquist when N even) (reference ``/root/reference/xrft/xrft.py:673-682``).
+
+    Deliberate divergence: with ``chunks_to_segments`` the parity is the
+    SEGMENT length (``da`` reaches this helper already stacked), because
+    the rfft runs per segment and the last one-sided bin is Nyquist iff
+    the segment length is even.  The reference takes the parity from the
+    full input length (``:678``), mis-scaling that bin whenever the two
+    parities differ; pinned in
+    ``tests/test_spectra.py::test_segmented_real_dim_nyquist_parity``."""
     real = next(d for d in updated_dims if d.endswith(real_dim))
     f = np.full(ps.sizes[real], 2.0)
     if da.sizes[real_dim] % 2 == 0:
@@ -64,6 +72,24 @@ def _psd_real_dim_scaling(da, ps, real_dim, updated_dims):
     else:
         f[0] = 1.0
     return LabeledArray(f, dims=(real,), coords={real: ps.coords[real]})
+
+
+def _maybe_stack_segments(das, dim, kwargs):
+    """Stack ``chunks_to_segments`` ONCE up front (reference order:
+    segments, then detrend/window, ``xrft.py:390-433``): downstream the
+    segment dims are plain batch dims, so the one-sided fast path and the
+    fused engine route serve Welch estimates too, and every size-derived
+    factor (density Delta-f, real-dim doubling, window correction) is
+    per-segment automatically.  Returns (stacked arrays, pinned dim list,
+    kwargs without the flag)."""
+    if not kwargs.get("chunks_to_segments"):
+        return das, dim, kwargs
+    from .transform import _stack_segments
+
+    dim = _norm_dim_list(das[0], dim)  # pin BEFORE the segment dims exist
+    das = tuple(_stack_segments(da, dim) for da in das)
+    kwargs = {k: v for k, v in kwargs.items() if k != "chunks_to_segments"}
+    return das, dim, kwargs
 
 
 def _pop_density(kwargs, fname, scaling):
@@ -92,7 +118,11 @@ def _half_spectrum_dim(da, dim, real_dim, kwargs):
         return None
     engine = kwargs.get("engine")
     if kwargs.get("chunks_to_segments"):
-        return None  # segment reshaping happens inside fft; keep it simple
+        # defensive: power_spectrum/cross_spectrum stack segments up
+        # front and strip this flag before calling here, so segmented
+        # requests normally arrive as plain batched arrays; any other
+        # caller that forwards the flag falls back to the generic path
+        return None
     data = da.data
     if carray.is_pair(data) or np.dtype(data.dtype).kind == "c":
         return None
@@ -414,19 +444,7 @@ def power_spectrum(
     # true_phase does not matter for |F|^2; forced off to skip phase work
     kwargs.update({"true_amplitude": True, "true_phase": False})
 
-    if kwargs.get("chunks_to_segments"):
-        # stack ONCE up front (reference order: segments, then
-        # detrend/window, xrft.py:390-433): downstream the segment dims
-        # are plain batch dims, so the one-sided fast path and the fused
-        # engine route serve Welch estimates too, and every size-derived
-        # factor (density Delta-f, real-dim doubling, window correction)
-        # is per-segment automatically
-        from .transform import _stack_segments
-
-        dim = _norm_dim_list(da, dim)  # pin BEFORE the segment dims exist
-        da = _stack_segments(da, dim)
-        kwargs = {k: v for k, v in kwargs.items()
-                  if k != "chunks_to_segments"}
+    (da,), dim, kwargs = _maybe_stack_segments((da,), dim, kwargs)
 
     half = _half_spectrum_dim(da, dim, real_dim, kwargs)
     if half is not None:
@@ -498,15 +516,7 @@ def cross_spectrum(
     if tuple(da1.dims) != tuple(da2.dims):
         raise ValueError("The two datasets have different dimensions")
 
-    if kwargs.get("chunks_to_segments"):
-        # stack once up front; see power_spectrum
-        from .transform import _stack_segments
-
-        dim = _norm_dim_list(da1, dim)  # pin BEFORE the segment dims exist
-        da1 = _stack_segments(da1, dim)
-        da2 = _stack_segments(da2, dim)
-        kwargs = {k: v for k, v in kwargs.items()
-                  if k != "chunks_to_segments"}
+    (da1, da2), dim, kwargs = _maybe_stack_segments((da1, da2), dim, kwargs)
 
     # Hermitian one-sided fast path for two real inputs (the symmetry
     # survives the phase factors: conj(e^{-i t}) = e^{+i t})
