@@ -2,12 +2,11 @@
 behaviour, and metadata propagation."""
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 import numpy.testing as npt
 import pytest
 
-from xrft_tpu import Coord, LabeledArray
+from xrft_tpu import LabeledArray
 from xrft_tpu.config import complex_mode
 from xrft_tpu.ops import carray
 

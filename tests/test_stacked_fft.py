@@ -154,3 +154,21 @@ def test_f32_grade():
     ref = np.fft.fft(x.astype(np.float64))
     scale = np.abs(ref).max()
     assert np.abs(got - ref).max() / scale < 5e-6
+
+
+def test_plan_rebalances_degenerate_splits():
+    """Tiny (<16) radices pad up to 16x under (8,128) tiling when a digit
+    dim lands minor (measured as a 16 GB OOM temp on a segmented 4096^2
+    pipeline): the planner must pick balanced factorizations at every
+    level count, while keeping the flagship plans."""
+    from xrft_tpu.ops.stacked_fft import plan
+
+    assert plan(1024, 128) == (32, 32)
+    assert plan(512, 128) == (16, 32)
+    assert plan(256, 128) == (16, 16)
+    assert plan(32768, 128) == (32, 32, 32)
+    assert plan(4096, 128) == (32, 128)   # flagship: unchanged
+    assert min(plan(65536, 128)) >= 16
+    # non-rebalanceable sizes keep working
+    assert plan(96, 128) == (96,)
+    assert plan(1000, 128) == (25, 40)

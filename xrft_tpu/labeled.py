@@ -24,7 +24,7 @@ sharding utilities apply directly; dims/coords/attrs ride along as static
 from __future__ import annotations
 
 import operator
-from typing import Any, Iterable, Mapping, Sequence
+from typing import Any, Mapping, Sequence
 
 import jax
 import jax.numpy as jnp
