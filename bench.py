@@ -155,23 +155,26 @@ def main():
     t_null = min(_wall(null_f, nx) for _ in range(5))
 
     # 64 iterations puts the loop's device time well above the ~27 ms RPC
-    # noise floor (16 was measured to sometimes vanish under it)
+    # noise floor (16 was measured to sometimes vanish under it); heavier
+    # workloads (>= ~20 ms/iter) pass a smaller k so the bench stays fast
     KC = 64
 
-    def loop_per_iter(step, x_init):
+    def loop_per_iter(step, x_init, k=None, reps=4):
+        k = KC if k is None else k
+
         def body(_, carry):
             s, xx = carry
             s2 = step(xx)
             return s + s2, xx + s2 * 1e-38
 
         def run(xx):
-            s, _ = jax.lax.fori_loop(0, KC, body, (jnp.float32(0.0), xx))
+            s, _ = jax.lax.fori_loop(0, k, body, (jnp.float32(0.0), xx))
             return s
 
         g = jax.jit(run)
         float(g(x_init))
-        t = min(_wall(g, x_init) for _ in range(4))
-        return max((t - t_null) / KC, 0.0)
+        t = min(_wall(g, x_init) for _ in range(reps))
+        return max((t - t_null) / k, 0.0)
 
     # config 3: isotropic power spectrum, 512^2 (one-hot-matmul binning;
     # BASELINE config 3's size — the one-hot constant is points x bins,
@@ -239,6 +242,109 @@ def main():
         return jnp.sum(ps.data.hi)
 
     extras["hp_psd_256_ms"] = round(loop_per_iter(step5, da5.data), 2)
+
+    # ---- VERDICT r2 item 3: the two flagship numbers BASELINE.md claims
+    # that only interactive sessions had measured — now driver-reproducible.
+
+    # inverse flagship: irfft2 8x4096x(2049->4096).  The spectrum values
+    # are arbitrary for timing (irfftn consumes the half grid as-is); the
+    # imaginary plane derives from the loop-carried real plane so both
+    # stay serially data-dependent without a second 268 MB carry.
+    from xrft_tpu.ops import carray as _car
+
+    # freq_y pre-sorted (fftshift order = the forward flagship's shift=True
+    # output): ifft's sortby is then a no-op and the input ifftshift is
+    # absorbed into the engine weights — no gather pass
+    ftc = {"freq_y": np.fft.fftshift(np.fft.fftfreq(N, 0.5)),
+           "freq_x": np.fft.rfftfreq(N, 0.5)}
+    half = LabeledArray(
+        jnp.zeros((B, N, N // 2 + 1), np.float32),  # placeholder struct
+        dims=("time", "freq_y", "freq_x"), coords=ftc)
+    re0 = jnp.asarray(rng.randn(B, N, N // 2 + 1).astype(np.float32))
+
+    def step_irfft(xx):
+        daft = half.copy(data=_car.ComplexPair(xx, xx * 0.3))
+        out = xrft_tpu.ifft(daft, dim=["freq_y", "freq_x"],
+                            real_dim="freq_x", shift=False, lag=None,
+                            true_phase=False, true_amplitude=False)
+        return jnp.sum(out.data)
+
+    extras["irfft2_flagship_ms"] = round(
+        loop_per_iter(step_irfft, re0, k=8), 2)
+    del re0
+
+    # Welch flagship: 8x4096^2 PSD over 1024^2 hann segments
+    da_w = da.chunk({"y": 1024, "x": 1024})
+
+    def step_welch(xx):
+        ps = xrft_tpu.power_spectrum(
+            da_w.copy(data=xx), dim=["y", "x"], window="hann",
+            chunks_to_segments=True)
+        return jnp.sum(ps.data)
+
+    extras["welch_psd_flagship_ms"] = round(
+        loop_per_iter(step_welch, da_w.data, k=8), 2)
+
+    # ---- VERDICT r2 item 4: hp at scale (config 2's true shape and a
+    # >= 4M-point transform)
+    N6 = 1024
+    da6 = LabeledArray(rng.randn(N6, N6).astype(np.float32),
+                       dims=("y", "x"),
+                       coords={"y": np.arange(N6) * 0.5,
+                               "x": np.arange(N6) * 0.5})
+
+    def step6(xx):
+        ps = xrft_tpu.power_spectrum(da6.copy(data=xx), dim=["y", "x"],
+                                     window="hann", detrend="linear",
+                                     engine="hp")
+        return jnp.sum(ps.data.hi)
+
+    extras["hp_psd_1024_ms"] = round(loop_per_iter(step6, da6.data, k=8), 2)
+
+    N7 = 2048  # 2-D fft, 4.19M points through the int8-limb hp engine
+    da7 = LabeledArray(rng.randn(N7, N7).astype(np.float32),
+                       dims=("y", "x"),
+                       coords={"y": np.arange(N7) * 1.0,
+                               "x": np.arange(N7) * 1.0})
+
+    def step7(xx):
+        ft = xrft_tpu.fft(da7.copy(data=xx), dim=["y", "x"], engine="hp",
+                          true_phase=False, true_amplitude=False)
+        return jnp.sum(ft.data.rh)
+
+    extras["hp_fft_2048sq_ms"] = round(loop_per_iter(step7, da7.data, k=4),
+                                       2)
+
+    # ---- VERDICT r2 item 2: the 1e-10 precision contract, driver-visible.
+    # Two highest-signal on-chip checks (the full chip_checks.py suite is
+    # ~15 min through the tunnel): the hp windowed+detrended PSD at config
+    # 2's true shape vs the float64 host pipeline, and an hp fft/ifft
+    # roundtrip (config 1).  Emitted as hp_max_relerr.
+    ps6 = np.asarray(jax.jit(lambda d: xrft_tpu.power_spectrum(
+        d, dim=["y", "x"], window="hann", detrend="linear",
+        engine="hp").data)(da6))
+    v6 = da6.values.astype(np.float64)
+    i6 = np.arange(N6) - (N6 - 1) / 2
+    s2 = (i6 ** 2).sum()
+    vm = v6 - v6.mean()
+    ay = (vm * i6[:, None]).sum() / (s2 * N6)
+    ax = (vm * i6[None, :]).sum() / (s2 * N6)
+    vd = vm - ay * i6[:, None] - ax * i6[None, :]
+    w6 = sps.windows.hann(N6, sym=False)
+    F6 = np.fft.fftshift(np.fft.fftn(vd * np.outer(w6, w6))) * 0.25
+    ref6 = np.abs(F6) ** 2 * (1.0 / (N6 * 0.5)) ** 2
+    relerr_psd = float(np.abs(ps6 - ref6).max() / ref6.max())
+
+    N1 = 512
+    t1 = np.arange(N1) * 0.25
+    sig1 = rng.randn(N1).astype(np.float32)
+    d1 = LabeledArray(sig1, dims=("t",), coords={"t": t1})
+    ft1 = xrft_tpu.fft(d1, dim=["t"], engine="hp")
+    back1 = xrft_tpu.ifft(ft1, dim=["freq_t"], engine="hp",
+                          lag=[float(t1[N1 // 2])])
+    relerr_rt = float(np.abs(
+        np.asarray(back1.values).real - sig1.astype(np.float64)).max())
+    extras["hp_max_relerr"] = float(f"{max(relerr_psd, relerr_rt):.3e}")
 
     print(json.dumps({
         "metric": f"windowed+detrended power_spectrum {B}x{N}x{N} f32, "

@@ -88,6 +88,28 @@ def main():
     check("pipeline PSD rel err",
           np.abs(ps.values - refps).max() / refps.max(), 1e-5)
 
+    # 4b. compiled Pallas binned-sum kernel vs f64 host bincount oracle at
+    # a large-grid size (2048^2 points, 512 bins — above ONEHOT_MAX so the
+    # real Mosaic kernel runs; repo tests only exercise interpret mode on
+    # CPU, so this is the one place the compiled kernel's numerics are
+    # pinned against toolchain changes)
+    from xrft_tpu.ops import binning
+
+    Nb = 2048
+    ky = np.fft.fftfreq(Nb)
+    fr = np.sqrt(ky[:, None] ** 2 + ky[None, :] ** 2)
+    codes_b, nbins_b = binning.cut_codes(fr, Nb // 4)
+    vals_b = rng.randn(Nb * Nb).astype(np.float32)
+    got_b = np.asarray(jax.jit(
+        lambda v: binning.binned_sum(v, codes_b, nbins_b))(
+            jnp.asarray(vals_b)))
+    mask_b = codes_b >= 0
+    ref_b = np.bincount(codes_b[mask_b],
+                        weights=vals_b.astype(np.float64)[mask_b],
+                        minlength=nbins_b)
+    check("pallas binned_sum 2048^2 rel err",
+          np.abs(got_b - ref_b).max() / np.abs(ref_b).max(), 1e-4)
+
     # ---- 5. engine='hp': BASELINE configs 1-4 end-to-end at <= 1e-10 on
     # the chip (VERDICT round-1 item 3; BASELINE.md precision contract)
 

@@ -320,3 +320,171 @@ def test_pencil_hp(mesh8, kind):
     assert isinstance(got, DF64 if kind == "irfft" else CDF64)
     scale = max(np.abs(ref).max(), 1e-12)
     assert np.abs(np.asarray(got) - ref).max() / scale < 1e-10
+
+
+def test_sharded_segmented_power_spectrum(mesh8):
+    """chunks_to_segments composes with sharding (VERDICT r2 item 5): the
+    chunked transform dim's shard spec moves to the segment axis (batch
+    parallelism), and the result equals the local segmented estimate
+    (reference segment semantics /root/reference/xrft/xrft.py:106-136)."""
+    N, SEG = 128, 16
+    rng = np.random.RandomState(11)
+    da = LabeledArray(rng.randn(N, 24), dims=["x", "y"],
+                      coords={"x": np.arange(N) * 0.5,
+                              "y": np.arange(24) * 1.0}).chunk({"x": SEG})
+    local = xrft_tpu.power_spectrum(da, dim=["x"], window="hann",
+                                    chunks_to_segments=True)
+    dist = sharded_power_spectrum(da, mesh8, {"x": "p"}, dim=["x"],
+                                  window="hann", chunks_to_segments=True)
+    assert dist.dims == local.dims
+    assert "x_segment" in dist.dims
+    npt.assert_allclose(carray.to_numpy(dist.data),
+                        carray.to_numpy(local.data), atol=1e-11)
+    npt.assert_allclose(dist["freq_x"].values, local["freq_x"].values)
+    # the shard landed on the segment axis: per-device shards are full
+    # segments (no collectives on the transform axis)
+    seg_ax = dist.dims.index("x_segment")
+    shard_shape = dist.data.sharding.shard_shape(dist.data.shape)
+    assert shard_shape[seg_ax] == (N // SEG) // 8
+
+
+def test_sharded_segmented_unchunked_dim_keeps_pencil(mesh8):
+    """A sharded transform dim with NO declared chunks stays on the
+    pencil path under chunks_to_segments (its segment axis has size 1)."""
+    N = 64
+    rng = np.random.RandomState(12)
+    da = LabeledArray(rng.randn(N, 8), dims=["x", "b"],
+                      coords={"x": np.arange(N) * 1.0,
+                              "b": np.arange(8)}).chunk({"b": 4})
+    local = xrft_tpu.fft(da, dim=["x"], chunks_to_segments=True,
+                         true_phase=True, true_amplitude=True)
+    dist = sharded_fft(da, mesh8, {"x": "p"}, dim=["x"],
+                       chunks_to_segments=True, true_phase=True,
+                       true_amplitude=True)
+    assert dist.dims == local.dims
+    npt.assert_allclose(carray.to_numpy(dist.data),
+                        carray.to_numpy(local.data), atol=1e-11)
+
+
+def test_sharded_segmented_cross_spectrum(mesh8):
+    """Segmented sharded cross spectrum matches the local one (both
+    inputs segmented identically)."""
+    from xrft_tpu.parallel import sharded_cross_spectrum
+
+    N, SEG = 128, 16
+    rng = np.random.RandomState(13)
+    coords = {"x": np.arange(N) * 0.5}
+    a = LabeledArray(rng.randn(N), dims=["x"], coords=coords).chunk(
+        {"x": SEG})
+    b = LabeledArray(rng.randn(N), dims=["x"], coords=coords).chunk(
+        {"x": SEG})
+    local = xrft_tpu.cross_spectrum(a, b, dim=["x"],
+                                    chunks_to_segments=True)
+    dist = sharded_cross_spectrum(a, b, mesh8, {"x": "p"}, dim=["x"],
+                                  chunks_to_segments=True)
+    assert dist.dims == local.dims
+    npt.assert_allclose(carray.to_numpy(dist.data),
+                        carray.to_numpy(local.data), atol=1e-11)
+
+
+# ---------------------------------------------------------------------------
+# Topology-aware planning (VERDICT r2 item 6; SURVEY §7 stage 6)
+# ---------------------------------------------------------------------------
+
+
+def test_make_mesh_axis_links_and_order():
+    """make_mesh records ICI/DCN hints and makes DCN axes outermost
+    (slowest-varying) so ICI groups stay within a slice."""
+    from xrft_tpu.parallel import axis_links, make_mesh
+
+    m = make_mesh({"fp": (4, "ici"), "dp": (2, "dcn")})
+    assert axis_links(m) == {"dp": "dcn", "fp": "ici"}
+    assert tuple(m.axis_names)[0] == "dp"  # DCN outermost
+    # consecutive devices differ only in the ICI coordinate
+    dev = np.asarray(m.devices)
+    assert dev.shape == (2, 4)
+    # plain int values still work, default ici
+    m2 = make_mesh({"p": 8})
+    assert axis_links(m2) == {"p": "ici"}
+
+
+def test_plan_dcn_axes_ordered_last():
+    """A chain mixing ICI- and DCN-sharded transform axes transforms the
+    DCN axis last, so its single inter-slice all_to_all can park on an
+    already-transformed (settled) axis."""
+    from xrft_tpu.parallel.pencil import plan_forward_layout
+
+    links = {"d": "dcn", "i": "ici"}
+    # axes 1 (dcn) and 2 (ici) both sharded; caller order puts dcn first
+    steps, final = plan_forward_layout(
+        (8, 8, 8), [1, 2], {1: "d", 2: "i"}, {"d": 2, "i": 4},
+        axis_links=links)
+    assert [s[1] for s in steps] == [2, 1]  # ici axis first, dcn last
+    assert steps[0][0] == "move" and steps[1][0] == "move"
+    # the dcn sharding parks exactly once
+    assert final[steps[1][2]] == "d"
+
+
+def test_plan_ici_move_reserves_dcn_destination():
+    """An ICI move avoids squatting on the only destination a pending DCN
+    move can use (axis sizes: the batch axis divides the DCN size, the
+    ici alternative does not)."""
+    from xrft_tpu.parallel.pencil import plan_forward_layout
+
+    links = {"d": "dcn", "i": "ici"}
+    # shape (3, 9, 8, 8): axis 0 divides i=3 only; axis 1 divides both
+    # i=3 and d=2? no — pick sizes so exactly one axis serves the dcn move
+    # mesh i=3, d=2; batch axes: 0 (size 3, only i fits), 1 (size 4, only
+    # d fits... also test rank-1 penalty: axis 1 size 12 fits both)
+    steps, final = plan_forward_layout(
+        (3, 12, 9, 8), [2, 3], {2: "i", 3: "d"}, {"i": 3, "d": 2},
+        axis_links=links)
+    # ici move (axis 2) must pick axis 0 (rank 0), NOT axis 1 (reserved
+    # for the pending dcn move, rank 1)
+    assert ("move", 2, 0, "i") in steps
+    assert ("move", 3, 1, "d") in steps
+    # without links, the ici move would take axis 0 anyway (tie keeps
+    # lowest index) — so also check the reservation flips a real choice:
+    steps2, _ = plan_forward_layout(
+        (12, 3, 9, 8), [2, 3], {2: "i", 3: "d"}, {"i": 3, "d": 2},
+        axis_links=links)
+    # axis 0 (size 12) fits both but is reserved; axis 1 (size 3) fits i
+    assert ("move", 2, 1, "i") in steps2
+    assert ("move", 3, 0, "d") in steps2
+    # and WITHOUT topology hints the ici move takes axis 0 greedily,
+    # forcing the d move onto the transformed axis 2 (if divisible) or a
+    # roundtrip — pin the contrast
+    steps3, _ = plan_forward_layout(
+        (12, 3, 9, 8), [2, 3], {2: "i", 3: "d"}, {"i": 3, "d": 2})
+    assert ("move", 2, 0, "i") in steps3
+
+
+def test_pencil_fftn_dcn_mesh_parity(mesh24):
+    """Values are identical whatever the topology hints (the plan changes,
+    the math doesn't): dcn-hinted mesh vs plain mesh vs local numpy."""
+    from xrft_tpu.parallel import make_mesh
+
+    mesh_hint = make_mesh({"q1": (2, "dcn"), "q2": (4, "ici")})
+    rng = np.random.RandomState(21)
+    x = np.asarray(rng.randn(8, 16, 32), np.float32)
+    got = carray.to_numpy(
+        pencil_fftn(x, [1, 2], mesh_hint, {1: "q1", 2: "q2"}, "fft"))
+    ref = np.fft.fftn(x.astype(np.float64), axes=[1, 2])
+    npt.assert_allclose(got, ref, atol=1e-3 * np.abs(ref).max())
+
+
+def test_sharded_psd_dcn_mesh(mesh24):
+    """The high-level sharded PSD runs on a topology-hinted mesh (the
+    mirror-sharding reconstruction uses the same link-aware plan)."""
+    from xrft_tpu.parallel import make_mesh
+
+    mesh_hint = make_mesh({"b1": (2, "dcn"), "b2": (4, "ici")})
+    N = 32
+    rng = np.random.RandomState(22)
+    da = LabeledArray(rng.randn(N, N), dims=["y", "x"],
+                      coords={"y": np.arange(N), "x": np.arange(N)})
+    local = xrft_tpu.power_spectrum(da, dim=["y", "x"], window="hann")
+    dist = sharded_power_spectrum(da, mesh_hint, {"y": "b1", "x": "b2"},
+                                  dim=["y", "x"], window="hann")
+    npt.assert_allclose(carray.to_numpy(dist.data),
+                        carray.to_numpy(local.data), atol=1e-11)

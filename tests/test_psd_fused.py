@@ -243,3 +243,26 @@ def test_fused_cross_decreasing_coords_excluded():
     # and the public function still works (generic path)
     out = xrft_tpu.cross_spectrum(a, b, dim=["x"], true_phase=True)
     assert "freq_x" in out.dims
+
+
+def test_fused_cross_window_true_warns_once():
+    """window=True on the fused cross path emits exactly ONE FutureWarning
+    per call (the shared front half runs once per input; reference shim
+    warns once, /root/reference/xrft/xrft.py:42-47)."""
+    import warnings
+
+    rng = np.random.RandomState(9)
+    NY, NX = 32, 48
+    coords = {"y": np.arange(NY) * 0.5, "x": np.arange(NX) * 0.25}
+    a = LabeledArray(rng.randn(NY, NX), dims=("y", "x"), coords=coords)
+    b = LabeledArray(rng.randn(NY, NX), dims=("y", "x"), coords=coords)
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        got = xrft_tpu.cross_spectrum(a, b, dim=["y", "x"], window=True,
+                                      true_phase=False, engine="matmul")
+    n_future = sum(1 for w in rec if issubclass(w.category, FutureWarning))
+    assert n_future == 1
+    ref = xrft_tpu.cross_spectrum(a, b, dim=["y", "x"], window="hann",
+                                  true_phase=False, engine="matmul")
+    npt.assert_allclose(carray.to_numpy(got.data),
+                        carray.to_numpy(ref.data), rtol=1e-10)

@@ -160,6 +160,16 @@ def _as_coord(name: str, value: Any, dims: Sequence[str]) -> Coord:
     )
 
 
+def _sample_token(arr: np.ndarray) -> bytes:
+    """Cheap content token for host-array caches: the bytes of ~64
+    elements sampled on a fixed stride.  Detects most in-place mutations
+    of a cached buffer without a full-array pass (see the _quad_cache
+    note in ``LabeledArray.tree_flatten``)."""
+    flat = arr.reshape(-1)
+    step = max(1, flat.size // 64)
+    return flat[::step][:64].tobytes()
+
+
 class _Aux:
     """Hashable static payload for the pytree registration."""
 
@@ -345,9 +355,16 @@ class LabeledArray:
             if use_split_complex():
                 # flatten runs on EVERY jit dispatch: cache the host df64
                 # split per data object (4 full-array numpy passes saved
-                # per call; invalidated when .data is replaced)
+                # per call; invalidated when .data is replaced, or when a
+                # cheap content token — 64 strided sample elements — shows
+                # the array was mutated in place).  The token is a guard,
+                # not a guarantee: an in-place write touching none of the
+                # sampled elements still reuses the stale quad, so prefer
+                # `.copy(data=...)` over mutating host complex128 buffers.
                 cached = getattr(self, "_quad_cache", None)
-                if cached is not None and cached[0] is data:
+                token = _sample_token(data)
+                if (cached is not None and cached[0] is data
+                        and cached[2] == token):
                     data = cached[1]
                 else:
                     from .ops.df64 import split_f64_np
@@ -356,7 +373,7 @@ class LabeledArray:
                     ih, il = split_f64_np(np.ascontiguousarray(data.imag))
                     quad = carray.CDF64(jnp.asarray(rh), jnp.asarray(rl),
                                         jnp.asarray(ih), jnp.asarray(il))
-                    self._quad_cache = (data, quad)
+                    self._quad_cache = (data, quad, token)
                     data = quad
         return (data,), _Aux(self.dims, self.coords, self.attrs, self.name)
 

@@ -83,6 +83,15 @@ def _binned_sum_pallas(x, codes: np.ndarray, nbins: int, interpret: bool):
     points x bins constant in the program.
 
     x: (..., P) real array.  Returns (..., nbins).
+
+    Accumulation grade: per-bin partial sums accumulate *sequentially* in
+    f32 across the ~P/512 grid steps (each step contributes one already-
+    reduced chunk sum, so the error growth is ~sqrt(P/512) ulps on random
+    data — measured 2.2e-6 rel err vs an f64 host oracle at P=4M,
+    724 bins).  This is coarser than the sorted path's blocked pairwise
+    prefix; if grids grow another ~100x, switch the out_ref accumulator to
+    a per-chunk partial-sum tree (or f64 on hardware that supports it).
+    scripts/chip_checks.py pins the compiled kernel's parity on-chip.
     """
     from jax.experimental import pallas as pl
 

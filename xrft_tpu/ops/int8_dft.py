@@ -21,10 +21,13 @@ Scheme (classical multi-word / Ozaki splitting):
     f32 hi/lo pair).  Pairs below the target precision are truncated.
 
 Accuracy measured on-chip: 6e-15 (n=256) / 8e-14 (n=1024) relative — at or
-beyond the VPU df64 path — at MXU matmul speed.  Spike status: direct DFT
-only (n <= ~2000 for the K-exactness bound with margin); four-step
-composition to larger sizes and rfft/c-input variants are future work
-(ROADMAP.md #6).
+beyond the VPU df64 path — at MXU matmul speed.  Shipped surface:
+:func:`int8_dft_last` (direct DFT, n <= ~2000 for the K-exactness bound
+with margin), :func:`int8_fft_last` (four-step composition to larger
+sizes), and :func:`int8_fft_nd` (N-D fft/ifft/rfft/irfft with absorbed
+pre/post shifts) — the driver behind ``engine="hp"`` pipelines
+(:mod:`..highprec`) and the f64-grade sharded pencil path
+(``parallel/pencil.py``, ``precision='hp'``).
 """
 
 from __future__ import annotations

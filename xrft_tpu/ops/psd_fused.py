@@ -287,6 +287,17 @@ def fused_one_sided_cross(da1, da2, dims, half_dim, shift, scale, kwargs):
     entirely.  Reference semantics: ``/root/reference/xrft/xrft.py:816-825``.
     """
     prefix = kwargs.get("prefix", "freq_")
+    if kwargs.get("window") is True:
+        # normalize up front so the shared front half warns ONCE per
+        # cross_spectrum call, not once per input
+        kwargs = dict(kwargs)
+        kwargs["window"] = "hann"
+        warnings.warn(
+            "Please provide the name of window adhering to "
+            "scipy.signal.windows. The boolean option will be deprecated "
+            "in future releases.",
+            FutureWarning,
+        )
     r1, i1, layout, ctx = _fused_raw_rfft(da1, dims, half_dim, shift,
                                           kwargs)
     r2, i2, _, _ = _fused_raw_rfft(da2, dims, half_dim, shift, kwargs)

@@ -1,4 +1,4 @@
-from .mesh import make_mesh, shard_labeled  # noqa: F401
+from .mesh import axis_links, make_mesh, shard_labeled  # noqa: F401
 from .pencil import pencil_fftn  # noqa: F401
 from .api import (  # noqa: F401
     sharded_cross_spectrum,

@@ -15,6 +15,7 @@ GSPMD, which inserts the appropriate collectives automatically.
 
 from __future__ import annotations
 
+import numpy as np
 from jax.sharding import Mesh
 
 from .. import spectra, transform
@@ -45,11 +46,41 @@ def _make_engine(mesh: Mesh, dims: tuple, dim_shards: dict):
 
 
 def _prepare(da: LabeledArray, mesh, dim_shards, kwargs):
-    if kwargs.get("chunks_to_segments"):
-        raise NotImplementedError(
-            "chunks_to_segments with sharded transform dims is not supported;"
-            " segment first, then shard the segment dim as a batch dim."
-        )
+    """Shard `da` per ``dim_shards`` (returns the updated
+    ``(da, dim_shards, kwargs)`` triple).
+
+    ``chunks_to_segments=True`` composes with sharded transforms by
+    stacking the Welch segments on host metadata FIRST (reference segment
+    semantics, ``/root/reference/xrft/xrft.py:106-136``): each chunked
+    transform dim ``d`` splits into ``(d_segment, d)``, the shard spec of
+    a chunked dim moves to its segment axis (batch parallelism, zero
+    collectives — the dask-chunk analogue), and unchunked sharded
+    transform dims keep the pencil path on the full axis."""
+    kwargs = dict(kwargs)
+    if kwargs.pop("chunks_to_segments", False):
+        from ..spectra import _norm_dim_list
+        from ..transform import _segment_plan, _stack_segments
+
+        dims = _norm_dim_list(da, kwargs.get("dim"))
+        seg_dims, _, _ = _segment_plan(da, dims)
+        da = _stack_segments(da, dims)
+        # pin the transform dims: downstream must not re-stack or treat
+        # the new segment axes as transform dims
+        kwargs["dim"] = dims
+        new_shards = {}
+        for d, ax in dim_shards.items():
+            seg = d + "_segment"
+            nseg = da.sizes.get(seg, 1)
+            ax_size = int(np.prod([mesh.shape[a] for a in
+                                   ((ax,) if isinstance(ax, str) else ax)]))
+            if d in dims and seg in seg_dims and nseg % ax_size == 0 \
+                    and nseg > 1:
+                new_shards[seg] = ax
+            else:
+                # unchunked (single-segment) or indivisible segment count:
+                # keep the pencil path on the within-segment axis
+                new_shards[d] = ax
+        dim_shards = new_shards
     real_dim = kwargs.get("real_dim")
     if real_dim is not None:
         if dim_shards.get(real_dim):
@@ -59,7 +90,7 @@ def _prepare(da: LabeledArray, mesh, dim_shards, kwargs):
         order = [d for d in da.dims if d != real_dim] + [real_dim]
         da = da.transpose(*order)
     da = shard_labeled(da, mesh, dim_shards)
-    return da
+    return da, dim_shards, kwargs
 
 
 def sharded_fft(da: LabeledArray, mesh: Mesh, dim_shards: dict[str, str],
@@ -69,7 +100,7 @@ def sharded_fft(da: LabeledArray, mesh: Mesh, dim_shards: dict[str, str],
     ``dim_shards``: {dim name: mesh axis}.  Transform dims may be sharded
     (pencil path); batch dims shard freely.
     """
-    da = _prepare(da, mesh, dim_shards, fft_kwargs)
+    da, dim_shards, fft_kwargs = _prepare(da, mesh, dim_shards, fft_kwargs)
     engine = _make_engine(mesh, da.dims, dim_shards)
     return transform.fft(da, engine=engine, **fft_kwargs)
 
@@ -78,7 +109,7 @@ def sharded_power_spectrum(da: LabeledArray, mesh: Mesh,
                            dim_shards: dict[str, str],
                            **ps_kwargs) -> LabeledArray:
     """:func:`xrft_tpu.power_spectrum` over a device mesh."""
-    da = _prepare(da, mesh, dim_shards, ps_kwargs)
+    da, dim_shards, ps_kwargs = _prepare(da, mesh, dim_shards, ps_kwargs)
     engine = _make_engine(mesh, da.dims, dim_shards)
     return spectra.power_spectrum(da, engine=engine, **ps_kwargs)
 
@@ -88,9 +119,9 @@ def sharded_cross_spectrum(da1: LabeledArray, da2: LabeledArray,
                            **cs_kwargs) -> LabeledArray:
     """:func:`xrft_tpu.cross_spectrum` over a device mesh (both inputs
     share the same layout)."""
-    da1 = _prepare(da1, mesh, dim_shards, cs_kwargs)
-    da2 = _prepare(da2, mesh, dim_shards, dict(cs_kwargs))
-    engine = _make_engine(mesh, da1.dims, dim_shards)
+    da2, _, _ = _prepare(da2, mesh, dim_shards, cs_kwargs)
+    da1, shards1, cs_kwargs = _prepare(da1, mesh, dim_shards, cs_kwargs)
+    engine = _make_engine(mesh, da1.dims, shards1)
     return spectra.cross_spectrum(da1, da2, engine=engine, **cs_kwargs)
 
 
@@ -104,6 +135,6 @@ def sharded_isotropic_power_spectrum(da: LabeledArray, mesh: Mesh,
     with GSPMD inserting the reduction collectives."""
     from ..isotropic import isotropic_power_spectrum
 
-    da = _prepare(da, mesh, dim_shards, iso_kwargs)
+    da, dim_shards, iso_kwargs = _prepare(da, mesh, dim_shards, iso_kwargs)
     engine = _make_engine(mesh, da.dims, dim_shards)
     return isotropic_power_spectrum(da, engine=engine, **iso_kwargs)

@@ -9,6 +9,8 @@ dims use the pencil decomposition in :mod:`.pencil`.
 
 from __future__ import annotations
 
+import weakref
+
 import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
@@ -16,19 +18,84 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..labeled import LabeledArray
 from ..ops import carray
 
-__all__ = ["make_mesh", "shard_labeled", "spec_for"]
+__all__ = ["make_mesh", "shard_labeled", "spec_for", "axis_links"]
 
 
-def make_mesh(axis_shapes: dict[str, int] | None = None) -> Mesh:
+def make_mesh(axis_shapes: dict[str, int | tuple[int, str]] | None = None
+              ) -> Mesh:
     """Build a Mesh over all available devices.
 
     ``axis_shapes``: mapping of mesh-axis name to size, e.g.
     ``{"data": 2, "fft": 4}``.  Default: one axis named 'data' spanning all
     devices.
+
+    Topology hints (SURVEY §7 stage 6 "DCN-aware axis ordering"): a value
+    may be ``(size, link)`` with link ``"ici"`` (intra-slice, fast) or
+    ``"dcn"`` (inter-slice, ~10-100x lower bandwidth), e.g.
+    ``{"dp": (2, "dcn"), "fp": (8, "ici")}``.  Two effects:
+
+    1. DCN axes are made *outermost* (slowest-varying) in device order, so
+       on a multi-slice deployment each ICI axis's device group stays
+       within one slice and its collectives ride the ICI — the standard
+       hybrid-mesh recipe (``mesh_utils.create_hybrid_device_mesh``; on a
+       single-granule host this degrades to a plain reordered mesh).
+    2. The link map is recorded on the mesh (see :func:`axis_links`); the
+       pencil planner (:mod:`.pencil`) orders multi-axis transform chains
+       DCN-last and steers DCN all_to_alls toward destinations that never
+       need a second DCN hop.
     """
     if axis_shapes is None:
         axis_shapes = {"data": len(jax.devices())}
-    return jax.make_mesh(tuple(axis_shapes.values()), tuple(axis_shapes))
+    sizes, links = {}, {}
+    for name, v in axis_shapes.items():
+        if isinstance(v, tuple):
+            size, link = v
+            if link not in ("ici", "dcn"):
+                raise ValueError(f"unknown link type {link!r} for mesh axis "
+                                 f"{name!r} (expected 'ici' or 'dcn')")
+        else:
+            size, link = v, "ici"
+        sizes[name] = int(size)
+        links[name] = link
+    # DCN axes outermost: their device stride is then the whole ICI block,
+    # i.e. consecutive devices (same slice) differ only in ICI coordinates
+    order = sorted(sizes, key=lambda n: 0 if links[n] == "dcn" else 1)
+    if any(link == "dcn" for link in links.values()):
+        mesh = _hybrid_mesh(order, sizes, links)
+    else:
+        mesh = jax.make_mesh(tuple(sizes[n] for n in order), tuple(order))
+    # JAX interns Mesh objects (same devices + axis names -> same object),
+    # so the links live in a side registry rather than as an attribute;
+    # the last make_mesh call for a given interned mesh wins.
+    _MESH_LINKS[mesh] = dict(links)
+    return mesh
+
+
+def _hybrid_mesh(order, sizes, links) -> Mesh:
+    """Hybrid ICI/DCN mesh: delegate to mesh_utils when the platform
+    exposes multiple granules (real multi-slice), else a plain mesh in
+    DCN-outermost axis order."""
+    try:
+        from jax.experimental import mesh_utils
+
+        dcn_shape = [sizes[n] if links[n] == "dcn" else 1 for n in order]
+        ici_shape = [1 if links[n] == "dcn" else sizes[n] for n in order]
+        devs = mesh_utils.create_hybrid_device_mesh(
+            ici_shape, dcn_shape, devices=jax.devices())
+        return Mesh(devs, tuple(order))
+    except Exception:
+        return jax.make_mesh(tuple(sizes[n] for n in order), tuple(order))
+
+
+_MESH_LINKS: "weakref.WeakKeyDictionary[Mesh, dict[str, str]]" = \
+    weakref.WeakKeyDictionary()
+
+
+def axis_links(mesh: Mesh) -> dict[str, str]:
+    """Per-mesh-axis link type ({axis: 'ici'|'dcn'}); axes of meshes built
+    outside :func:`make_mesh` (or without hints) default to 'ici'."""
+    links = _MESH_LINKS.get(mesh) or {}
+    return {name: links.get(name, "ici") for name in mesh.shape}
 
 
 def spec_for(da: LabeledArray, dim_shards: dict[str, str]) -> P:

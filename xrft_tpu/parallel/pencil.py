@@ -76,44 +76,79 @@ def _split_chunks(x, axis, k):
 
 
 def _pick_dest(ndim, axis, sharding, global_shape, P_size, transform_axes,
-               done_axes, banned=()):
+               done_axes, banned=(), reserve_sizes=()):
     """Forward-chain destination for the sharding leaving ``axis``: a
     currently-unsharded axis whose *global* extent divides P_size (its
     local extent is then divisible too, shard_map sees local shapes).
-    Preference: batch axes and already-transformed axes over
-    yet-untransformed transform axes (those would move the sharding again).
-    Returns the destination axis or None (-> round-trip fallback)."""
+    Preference order: (0) settled axes (batch or already-transformed)
+    that no pending DCN move will need, (1) settled axes a pending
+    DCN-sharded axis could park on (``reserve_sizes`` = those moves'
+    mesh-axis sizes — occupying the only such destination would force the
+    DCN move into a 2-collective fallback over the slow inter-slice
+    links), (2) yet-untransformed transform axes (the sharding must then
+    move again).  Returns the destination axis or None (-> round-trip
+    fallback)."""
     cands = []
     for b in range(ndim):
         if b == axis or b in banned or sharding.get(b):
             continue
         if global_shape[b] % P_size != 0:
             continue
-        later = b in transform_axes and b not in done_axes
-        cands.append((1 if later else 0, b))
+        if b in transform_axes and b not in done_axes:
+            rank = 2
+        elif any(global_shape[b] % s == 0 for s in reserve_sizes):
+            rank = 1
+        else:
+            rank = 0
+        cands.append((rank, b))
     if not cands:
         return None
     return min(cands)[1]
 
 
 def plan_forward_layout(global_shape, axes, axis_sharding, mesh_shape,
-                        banned=()):
+                        banned=(), axis_links=None):
     """The deterministic layout evolution of the forward chain: returns
-    (steps, final_sharding) where steps[i] describes transform axis
-    axes[i] as ('local', a) | ('move', a, dest, mesh_axis) |
+    (steps, final_sharding) where each step describes one transform axis
+    as ('local', a) | ('move', a, dest, mesh_axis) |
     ('roundtrip', a, mesh_axis).  ``banned`` axes never receive a sharding
-    (the real rfft/irfft axis must stay local)."""
+    (the real rfft/irfft axis must stay local).
+
+    ``axis_links`` ({mesh_axis: 'ici'|'dcn'}, see ``mesh.axis_links``)
+    makes the plan topology-aware: per-axis FFTs commute, so the chain is
+    ordered **DCN-last** — every ICI-sharded (and unsharded) axis is
+    transformed first, so by the time a DCN-sharded axis must hand its
+    sharding forward, the already-transformed axes are settled
+    destinations and its (unavoidable) inter-slice all_to_all happens
+    exactly once; a DCN move also never parks on a yet-untransformed
+    transform axis while a settled one exists (see :func:`_pick_dest`).
+    The step order IS the compute order in :func:`pencil_fftn`, and every
+    caller (including the mirror-sharding reconstruction in
+    ``spectra._hermitian_expand``) derives it from this one function."""
+    links = axis_links or {}
     ndim = len(global_shape)
     sharding = dict(axis_sharding)
+    # stable DCN-last ordering of the chain (ties keep caller order)
+    axes = sorted(axes, key=lambda a: 1 if links.get(
+        sharding.get(a), "ici") == "dcn" else 0)
     steps = []
     done = set()
-    for a in axes:
+    for i, a in enumerate(axes):
         m = sharding.get(a)
         if m is None:
             steps.append(("local", a))
         else:
+            # sizes of the pending DCN moves (axes still to transform,
+            # sharded over a DCN mesh axis): an ICI move should not squat
+            # on the destinations those will need
+            reserve = {mesh_shape[sharding[a2]] for a2 in axes[i + 1:]
+                       if sharding.get(a2) is not None
+                       and links.get(sharding[a2], "ici") == "dcn"}
+            if links.get(m, "ici") == "dcn":
+                reserve = ()
             dest = _pick_dest(ndim, a, sharding, global_shape,
-                              mesh_shape[m], set(axes), done, banned)
+                              mesh_shape[m], set(axes), done, banned,
+                              reserve_sizes=reserve)
             if dest is None:
                 steps.append(("roundtrip", a, m))
             else:
@@ -178,8 +213,11 @@ def pencil_fftn(
     # global shape in the space domain == x's global shape except that for
     # 'irfft' the trailing axis is the half spectrum (not chained: ignore)
     banned = (ndim - 1,) if kind in ("rfft", "irfft") else ()
+    from .mesh import axis_links
+
     steps, final_sharding = plan_forward_layout(
-        x.shape, chain_axes, axis_sharding, dict(mesh.shape), banned)
+        x.shape, chain_axes, axis_sharding, dict(mesh.shape), banned,
+        axis_links=axis_links(mesh))
 
     spec_space = P(*[axis_sharding.get(a) for a in range(ndim)])
     spec_freq = P(*[final_sharding.get(a) for a in range(ndim)])

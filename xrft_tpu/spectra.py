@@ -201,10 +201,12 @@ def _hermitian_expand(half, daft, da, dims, half_dim, kwargs, shift,
         nd = len(da.dims)
         axis_sharding = {i: dim_shards[d] for i, d in enumerate(da.dims)
                          if dim_shards.get(d)}
+        from .parallel.mesh import axis_links
+
         chain_axes = [da.get_axis_num(d) for d in dims if d != half_dim]
         _, final = plan_forward_layout(
             da.shape, chain_axes, axis_sharding, dict(mesh.shape),
-            banned=(nd - 1,))
+            banned=(nd - 1,), axis_links=axis_links(mesh))
         ps_sharding = NamedSharding(
             mesh, _P(*[final.get(i) for i in range(nd)]))
     rev_rolls, perms = {}, {}
