@@ -78,6 +78,16 @@ class _Config:
     # scheduler, the kernel forfeits the overlap with the engine's dots
     # that the HLO mirror enjoys.  "auto" currently = "xla".
     psd_mirror_impl: str = "xla"
+    # Hermitian row-pair packed two-sided PSD (ops/psd_packed.py): "auto"
+    # takes the packed route (half-size complex FFT + elementwise
+    # combine, no mirror pass) for real 2-D power spectra whenever
+    # applicable; "never" (default) keeps the one-sided rfft + mirror
+    # route.  MEASURED NET LOSS on the v5e flagship (55.3 vs 20.9 ms,
+    # scripts/perf_packed_ab.py): the one-sided engine already exploits
+    # realness (real level-0 dots + weight-level column pruning), so
+    # packing saves no MXU work, while the combine's partner reads
+    # (flip+roll of both standard planes) add several memory passes.
+    psd_packed: str = "never"
 
 
 config = _Config()

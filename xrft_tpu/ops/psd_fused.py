@@ -93,12 +93,12 @@ def _host_window(window, n: int) -> np.ndarray:
                       dtype=np.float64)
 
 
-def _fused_raw_rfft(da, dims, half_dim, shift, kwargs):
-    """Shared front half of the fused one-sided estimators: coordinate
-    validation, layout steering (transpose + optimization_barrier),
-    detrend, window, and the stacked raw rfft.  Returns
-    ``(re, im, layout, ctx)`` with the raw-layout planes and the metadata
-    the estimator tails need."""
+def _steered_front(da, dims, half_dim, kwargs):
+    """Shared preprocessing of the fused/packed estimator routes:
+    coordinate validation, layout steering (transpose +
+    optimization_barrier), and detrend.  Returns
+    ``(data, axes, window, ctx)`` with ``window`` already normalized
+    (``True`` -> ``"hann"`` with ONE FutureWarning)."""
     from ..transform import _check_bad_transform_coords, _dim_coord
 
     spacing_tol = kwargs.get("spacing_tol", 1e-3)
@@ -158,6 +158,21 @@ def _fused_raw_rfft(da, dims, half_dim, shift, kwargs):
 
         data = _asjax(data)
     rdt = np.dtype(data.dtype)
+    ctx = dict(orig_dims=orig_dims, newdims=newdims, N=N, delta=delta,
+               da=da, rdt=rdt)
+    return data, axes, window, ctx
+
+
+def _fused_raw_rfft(da, dims, half_dim, shift, kwargs):
+    """Shared front half of the fused one-sided estimators: coordinate
+    validation, layout steering (transpose + optimization_barrier),
+    detrend, window, and the stacked raw rfft.  Returns
+    ``(re, im, layout, ctx)`` with the raw-layout planes and the metadata
+    the estimator tails need."""
+    data, axes, window, ctx = _steered_front(da, dims, half_dim, kwargs)
+    da = ctx["da"]
+    rdt = ctx["rdt"]
+    detrend = kwargs.get("detrend")
 
     pre_weights = None
     if window is not None and detrend is not None:
@@ -182,8 +197,6 @@ def _fused_raw_rfft(da, dims, half_dim, shift, kwargs):
         data, axes, "rfft", (), post_axes, pre_weights=pre_weights,
         raw=True)
     re, im = stacked_fft.raw_planes(a_raw, layout)
-    ctx = dict(orig_dims=orig_dims, newdims=newdims, N=N, delta=delta,
-               da=da, rdt=rdt)
     return re, im, layout, ctx
 
 

@@ -330,6 +330,15 @@ def _power_spectrum_via_rfft(da, dim, half_dim, kwargs, prescale=None):
                                   kwargs.get("spacing_tol", 1e-3))
         for d in dims])) ** 2
 
+    # packed route: half-size complex FFT + elementwise combine emits the
+    # two-sided grid directly — no mirror pass (see ops/psd_packed.py)
+    from .ops import psd_packed
+
+    if psd_packed.packed_psd_applicable(da, dims, half_dim, shift, kwargs):
+        scale = amp2 if prescale is None else amp2 * prescale
+        return psd_packed.packed_two_sided_psd(da, dims, half_dim, shift,
+                                               scale, kwargs)
+
     # fully fused route (stacked engine): window folded into the transform
     # stage, |.|^2 computed on the raw engine layout so only the real
     # half-size PSD pays the restore pass (see ops/psd_fused.py)
