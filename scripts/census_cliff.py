@@ -6,6 +6,24 @@ census (and cost analysis) of the two programs so the placement rule in
 ops/psd_fused.py rests on an artifact, not a coincidence.
 
 Usage: python scripts/census_cliff.py
+
+FINDINGS (round 3, v5e): the detrend+window program (20.5 ms two-sided)
+carries an extra 4-op pipeline after the x-axis final dot that
+detrend-only (22.4 ms) lacks:
+
+    0.55 GB fusion kOutput [32,2,65,32,128,8,1]   (x final dot)
+    0.55 GB copy
+    0.55 GB fusion kLoop   [32,2,65,32,128,8]     (pre_weights multiply)
+    0.55 GB copy
+
+i.e. the engine pre_weights window multiply DECOUPLES the y-axis dots
+from the detrend-laden input fusion.  Total cost-model traffic is
+22.07 GB for the FASTER program vs 16.69 GB for the slower one — the
+cliff is a scheduling effect, not traffic.  perf_cliff_fix.py confirms:
+an inter-axis optimization_barrier reproduces the break and recovers
+1.1 ms for detrend-only (19.14 -> 18.02 one-sided) while HURTING the
+window-only (+5.7 ms) and bare (+2.4 ms) variants, so the shipped rule
+(ops/psd_fused.py) gates the barrier to detrend-without-window exactly.
 """
 
 import os

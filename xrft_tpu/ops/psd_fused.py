@@ -174,18 +174,22 @@ def _fused_raw_rfft(da, dims, half_dim, shift, kwargs):
     rdt = ctx["rdt"]
     detrend = kwargs.get("detrend")
 
+    # Placement rules, each measured on the v5e flagship in one chip
+    # session (scripts/perf_cliff_fix.py; root cause census in
+    # scripts/census_cliff.py): the champion detrend+window program owes
+    # ~1.4 ms to the pre_weights multiply's copy pipeline after the
+    # x-axis dots DECOUPLING the y-axis dots from the detrend-laden
+    # input fusion — a schedule effect, not traffic (the faster program
+    # accesses +5 GB more by XLA's own cost model).
+    #   detrend+window: engine pre_weights           17.72 ms  (champion)
+    #   detrend only:   inter-axis barrier           18.02     (vs 19.14)
+    #   window only:    explicit multiply            19.21     (barrier: 24.9)
+    #   bare:           nothing                      19.60     (barrier: 22.0)
     pre_weights = None
     if window is not None and detrend is not None:
-        # With a detrend pass in the program the engine's pre_weights
-        # placement overlaps the detrend reductions and wins (20.7 vs
-        # 22.4 ms on the v5e flagship, scripts/perf_psd_stages.py).
         pre_weights = {ax: _host_window(window, da.sizes[d])
                        for d, ax in zip(dims, axes)}
     elif window is not None:
-        # Without detrend, an explicit broadcast multiply (one fused
-        # elementwise pass) beats pre_weights by ~6 ms: the engine's
-        # multiply sits next to the digit-split reshape and leaves the
-        # input relayout copy unfused and slow.
         for d, ax in zip(dims, axes):
             w1 = _host_window(window, da.sizes[d]).astype(rdt)
             bshape = [1] * data.ndim
@@ -195,7 +199,8 @@ def _fused_raw_rfft(da, dims, half_dim, shift, kwargs):
     post_axes = tuple(axes[:-1]) if shift else ()
     a_raw, layout = stacked_fft.fft_nd_stacked(
         data, axes, "rfft", (), post_axes, pre_weights=pre_weights,
-        raw=True)
+        raw=True,
+        inter_axis_barrier=(detrend is not None and window is None))
     re, im = stacked_fft.raw_planes(a_raw, layout)
     return re, im, layout, ctx
 

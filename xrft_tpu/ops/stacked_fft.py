@@ -364,7 +364,7 @@ def _ck(ax, lvl):
 
 def fft_nd_stacked(x, axes, kind: str, pre_shift_axes=(), post_shift_axes=(),
                    post_kind: str = "fftshift", pre_weights=None,
-                   raw: bool = False):
+                   raw: bool = False, inter_axis_barrier: bool = False):
     """N-D forward/inverse FFT via the stacked-complex pad-free schedule.
 
     Caller contract matches :func:`matmul_fft.matmul_fft_nd` for the
@@ -465,7 +465,15 @@ def fft_nd_stacked(x, axes, kind: str, pre_shift_axes=(), post_shift_axes=(),
     total_dots = sum(len(plan(in_shape[ax], cap)) for ax in order)
     dot_i = 0
 
-    for ax in order:
+    for ax_i, ax in enumerate(order):
+        if inter_axis_barrier and ax_i > 0:
+            # decouple this axis's first dot from the previous axis's
+            # output fusion: the HLO census showed a window pre_weights
+            # multiply here (an extra copy pipeline) makes the flagship
+            # FASTER (20.5 vs 22.4 ms) despite +5 GB cost-model traffic —
+            # the barrier reproduces the schedule break without the
+            # multiply (scripts/census_cliff.py, perf_cliff_fix.py)
+            a = lax.optimization_barrier(a)
         n = in_shape[ax]
         F = plan(n, cap)
         L = len(F)
