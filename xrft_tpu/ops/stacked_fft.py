@@ -90,10 +90,8 @@ def _largest_divisor(n: int, cap: int) -> int:
 
 
 @lru_cache(maxsize=None)
-def plan(n: int, cap: int) -> tuple[int, ...] | None:
-    """Radix plan [r0, ..., r_last]: r0 is contracted first (the major
-    input digit, emitting the least-significant output digit); r_last is
-    chosen as large as possible (trailing-dim tiling wants >= 128)."""
+def _plan_naive(n: int, cap: int) -> tuple[int, ...] | None:
+    """Greedy big-factor split, sorted ascending (big radix last)."""
     if n <= 1:
         return None  # nothing to gain; let the fallback handle n==1
     if n <= cap:
@@ -107,6 +105,17 @@ def plan(n: int, cap: int) -> tuple[int, ...] | None:
         radices.append(r)
         rem //= r
     radices.append(rem)
+    return tuple(sorted(radices))
+
+
+@lru_cache(maxsize=None)
+def plan(n: int, cap: int) -> tuple[int, ...] | None:
+    """Radix plan [r0, ..., r_last]: r0 is contracted first (the major
+    input digit, emitting the least-significant output digit); r_last is
+    chosen as large as possible (trailing-dim tiling wants >= 128)."""
+    radices = _plan_naive(n, cap)
+    if radices is None:
+        return None
     if min(radices) < 16:
         # Rebalance degenerate splits (1024 -> (8, 128),
         # 32768 -> (2, 128, 128)): a tiny digit dim pads up to 16x under
@@ -117,9 +126,30 @@ def plan(n: int, cap: int) -> tuple[int, ...] | None:
         # (1024 -> (32, 32), 32768 -> (32, 32, 32)).
         bal = _balanced_factors(n, cap, len(radices))
         if bal is not None and min(bal) > min(radices):
-            radices = list(bal)
+            radices = bal
     # contraction order: big radix last
     return tuple(sorted(radices))
+
+
+@lru_cache(maxsize=None)
+def plan_raw(n: int, cap: int, pre: bool, post: bool
+             ) -> tuple[int, ...] | None:
+    """Radix plan for RAW-layout consumers (``raw=True``): prefer the
+    unrebalanced big-last split when its smallest digit still aligns to
+    the 8-wide sublane tile and it honors any absorbed shifts.
+
+    The rebalance in :func:`plan` exists for the standard epilogue's
+    padded-temp blowup; the raw route never materializes that layout, and
+    the big-last plan keeps the final-level merged columns >= 128 wide —
+    measured 35.1 vs 66.2 ms on the segmented (1024^2-plan) Welch
+    flagship (scripts/perf_welch_irfft.py; the b9ba4de rebalance had
+    silently regressed it)."""
+    naive = _plan_naive(n, cap)
+    reb = plan(n, cap)
+    if (naive is not None and naive != reb and min(naive) >= 8
+            and _shifts_absorbable(n, naive, pre, post)):
+        return naive
+    return reb
 
 
 @lru_cache(maxsize=None)
@@ -436,6 +466,14 @@ def fft_nd_stacked(x, axes, kind: str, pre_shift_axes=(), post_shift_axes=(),
         order = list(axes)
         prune_axis = None
 
+    # per-axis radix plans: raw-layout consumers prefer the unrebalanced
+    # big-last split (see plan_raw); the standard epilogue keeps plan()
+    axplan = {
+        ax: (plan_raw(in_shape[ax], cap, ax in pre_set, ax in post_set)
+             if raw else plan(in_shape[ax], cap))
+        for ax in order
+    }
+
     dims: list = ([_C] if has_c else []) + [_orig(i) for i in range(ndim)]
 
     # Pre-split every transform axis into its digit dims in ONE reshape
@@ -449,7 +487,7 @@ def fft_nd_stacked(x, axes, kind: str, pre_shift_axes=(), post_shift_axes=(),
     for q, tok in enumerate(dims):
         if tok != _C and tok[0] == "orig" and tok[1] in order:
             i = tok[1]
-            for lvl, r in enumerate(plan(in_shape[i], cap)):
+            for lvl, r in enumerate(axplan[i]):
                 new_dims.append(_in(i, lvl))
                 new_shape.append(r)
         else:
@@ -462,7 +500,7 @@ def fft_nd_stacked(x, axes, kind: str, pre_shift_axes=(), post_shift_axes=(),
     def pos(tok):
         return dims.index(tok)
 
-    total_dots = sum(len(plan(in_shape[ax], cap)) for ax in order)
+    total_dots = sum(len(axplan[ax]) for ax in order)
     dot_i = 0
 
     for ax_i, ax in enumerate(order):
@@ -475,7 +513,7 @@ def fft_nd_stacked(x, axes, kind: str, pre_shift_axes=(), post_shift_axes=(),
             # multiply (scripts/census_cliff.py, perf_cliff_fix.py)
             a = lax.optimization_barrier(a)
         n = in_shape[ax]
-        F = plan(n, cap)
+        F = axplan[ax]
         L = len(F)
         pre = ax in pre_set
         post = ax in post_set
@@ -625,7 +663,7 @@ def fft_nd_stacked(x, axes, kind: str, pre_shift_axes=(), post_shift_axes=(),
                 prev_dig = None
 
     if raw:
-        plans = {ax2: plan(in_shape[ax2], cap) for ax2 in order}
+        plans = {ax2: axplan[ax2] for ax2 in order}
         return a, RawStacked(tuple(dims), tuple(in_shape), tuple(order),
                              plans, prune_axis, merged_K)
 
@@ -640,7 +678,7 @@ def fft_nd_stacked(x, axes, kind: str, pre_shift_axes=(), post_shift_axes=(),
     # is a single unpadded copy.  The c plane lands immediately before the
     # last-transformed axis; ComplexPair slices it back out (fused views).
     last_ax = order[-1]
-    Flast = plan(in_shape[last_ax], cap)
+    Flast = axplan[last_ax]
     ck_pos = dims.index(_ck(last_ax, len(Flast) - 1))
 
     perm: list[int] = []
@@ -649,7 +687,7 @@ def fft_nd_stacked(x, axes, kind: str, pre_shift_axes=(), post_shift_axes=(),
     out_pos: dict[int, int] = {}
     for i in range(ndim):
         if i in order:
-            F = plan(in_shape[i], cap)
+            F = axplan[i]
             if i == last_ax:
                 c_axis = len(new_sizes)
                 new_sizes.append(2)
