@@ -224,3 +224,46 @@ def test_df64_labeledarray_ops():
     assert ft.conj().values[0, 1] == np.conj(ft.values[0, 1])
     re = ft.real
     assert re.values.dtype == np.float64
+
+
+def test_quad_complex_input_detrend_window_combos():
+    """Jit-staged host-complex128 input (flattened as a CDF64 quad on
+    split-complex backends) through every detrend/window/engine combo:
+    the f32 engines degrade the quad cleanly (~1e-7) and engine='hp'
+    keeps f64 grade — including detrend/window applied to complex data
+    (reference applies them dtype-blind, /root/reference/xrft/xrft.py:
+    425-433, /root/reference/xrft/detrend.py:64-95)."""
+    from xrft_tpu.config import complex_mode
+    from xrft_tpu.ops import carray
+
+    N = 64
+    rng = np.random.RandomState(0)
+    z = (rng.randn(N) + 1j * rng.randn(N)).astype(np.complex128)
+    da = LabeledArray(z, dims=("x",), coords={"x": np.arange(N) * 0.5})
+
+    def host_ref(kw):
+        v = z.copy()
+        if kw.get("detrend") == "constant":
+            v = v - v.mean()
+        elif kw.get("detrend") == "linear":
+            v = sps.detrend(v.real) + 1j * sps.detrend(v.imag)
+        if kw.get("window") == "hann":
+            v = v * sps.windows.hann(N, sym=False)
+        F = np.fft.fftshift(np.fft.fft(np.fft.ifftshift(v)))
+        lag = np.arange(N)[N // 2] * 0.5
+        fr = np.fft.fftshift(np.fft.fftfreq(N, 0.5))
+        return F * np.exp(-2j * np.pi * fr * lag) * 0.5
+
+    combos = [dict(), dict(detrend="constant"), dict(detrend="linear"),
+              dict(window="hann"), dict(detrend="linear", window="hann"),
+              dict(engine="hp"), dict(engine="hp", detrend="constant"),
+              dict(engine="hp", detrend="linear", window="hann")]
+    with complex_mode("split"):
+        for kw in combos:
+            f = jax.jit(lambda d, kw=kw: xrft_tpu.fft(
+                d, dim=["x"], **kw).data)
+            got = carray.to_numpy(f(da))
+            ref = host_ref(kw)
+            tol = 1e-12 if kw.get("engine") == "hp" else 1e-5
+            err = np.abs(got - ref).max() / np.abs(ref).max()
+            assert err < tol, (kw, err)
