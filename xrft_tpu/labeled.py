@@ -165,9 +165,14 @@ def _sample_token(arr: np.ndarray) -> bytes:
     elements sampled on a fixed stride.  Detects most in-place mutations
     of a cached buffer without a full-array pass (see the _quad_cache
     note in ``LabeledArray.tree_flatten``)."""
-    flat = arr.reshape(-1)
-    step = max(1, flat.size // 64)
-    return flat[::step][:64].tobytes()
+    step = max(1, arr.size // 64)
+    if arr.flags.c_contiguous:
+        flat = arr.reshape(-1)  # view, no copy
+        return flat[::step][:64].tobytes()
+    # non-contiguous (e.g. a host-numpy transpose view): flatiter slicing
+    # extracts just the ~64 sampled elements instead of materializing a
+    # full reshape(-1) copy on every jit dispatch
+    return arr.flat[::step][:64].tobytes()
 
 
 class _Aux:

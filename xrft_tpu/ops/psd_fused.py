@@ -93,6 +93,22 @@ def _host_window(window, n: int) -> np.ndarray:
                       dtype=np.float64)
 
 
+def _window_multiply(data, window, dims, axes, sizes, rdt):
+    """Explicit separable window multiply (one broadcast multiply per
+    transform axis), shared by the fused one-sided route (window-only
+    placement rule, see the census note in _fused_raw_rfft) and the
+    packed route (whose y factor differs between packed planes, so the
+    engine's per-axis pre_weights cannot carry it)."""
+    import jax.numpy as jnp
+
+    for d, ax in zip(dims, axes):
+        w1 = _host_window(window, sizes[d]).astype(rdt)
+        bshape = [1] * data.ndim
+        bshape[ax] = sizes[d]
+        data = data * jnp.asarray(w1.reshape(bshape))
+    return data
+
+
 def _steered_front(da, dims, half_dim, kwargs):
     """Shared preprocessing of the fused/packed estimator routes:
     coordinate validation, layout steering (transpose +
@@ -190,11 +206,7 @@ def _fused_raw_rfft(da, dims, half_dim, shift, kwargs):
         pre_weights = {ax: _host_window(window, da.sizes[d])
                        for d, ax in zip(dims, axes)}
     elif window is not None:
-        for d, ax in zip(dims, axes):
-            w1 = _host_window(window, da.sizes[d]).astype(rdt)
-            bshape = [1] * data.ndim
-            bshape[ax] = da.sizes[d]
-            data = data * jnp.asarray(w1.reshape(bshape))
+        data = _window_multiply(data, window, dims, axes, da.sizes, rdt)
 
     post_axes = tuple(axes[:-1]) if shift else ()
     a_raw, layout = stacked_fft.fft_nd_stacked(

@@ -64,7 +64,7 @@ from .. import coords as ce
 from ..config import config, resolve_fft_engine
 from ..labeled import Coord, LabeledArray
 from . import carray, stacked_fft
-from .psd_fused import _ALLOWED_KW, _host_window, _steered_front
+from .psd_fused import _ALLOWED_KW, _steered_front, _window_multiply
 from .window import WINDOW_TYPES
 
 __all__ = ["packed_psd_applicable", "packed_two_sided_psd"]
@@ -74,7 +74,11 @@ def packed_psd_applicable(da, dims, half_dim, shift, kwargs) -> bool:
     """True when the packed two-sided PSD can serve this request: exactly
     two transform dims, real float data, even non-half extent, stacked
     plans for both the packed (Y/2) and x sizes, matmul engine."""
-    if config.psd_packed == "never":
+    mode = config.psd_packed
+    if mode not in ("auto", "never"):
+        raise ValueError(
+            f"config.psd_packed must be 'auto' or 'never', got {mode!r}")
+    if mode == "never":
         return False
     if set(kwargs) - _ALLOWED_KW:
         return False
@@ -133,11 +137,7 @@ def packed_two_sided_psd(da, dims, half_dim, shift, scale, kwargs
     # between the packed planes, so the engine's per-axis pre_weights
     # cannot carry it); XLA fuses it into the packing/stack pass
     if window is not None:
-        for d, ax in zip(dims, axes):
-            w1 = _host_window(window, daT.sizes[d]).astype(rdt)
-            bshape = [1] * data.ndim
-            bshape[ax] = daT.sizes[d]
-            data = data * jnp.asarray(w1.reshape(bshape))
+        data = _window_multiply(data, window, dims, axes, daT.sizes, rdt)
 
     # pack adjacent y rows: z = f[0::2] + i f[1::2]
     idx_even = tuple(slice(0, None, 2) if i == y_ax else slice(None)

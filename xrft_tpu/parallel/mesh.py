@@ -47,9 +47,11 @@ def make_mesh(axis_shapes: dict[str, int | tuple[int, str]] | None = None
     if axis_shapes is None:
         axis_shapes = {"data": len(jax.devices())}
     sizes, links = {}, {}
+    had_hints = False
     for name, v in axis_shapes.items():
         if isinstance(v, tuple):
             size, link = v
+            had_hints = True
             if link not in ("ici", "dcn"):
                 raise ValueError(f"unknown link type {link!r} for mesh axis "
                                  f"{name!r} (expected 'ici' or 'dcn')")
@@ -65,8 +67,24 @@ def make_mesh(axis_shapes: dict[str, int | tuple[int, str]] | None = None
     else:
         mesh = jax.make_mesh(tuple(sizes[n] for n in order), tuple(order))
     # JAX interns Mesh objects (same devices + axis names -> same object),
-    # so the links live in a side registry rather than as an attribute;
-    # the last make_mesh call for a given interned mesh wins.
+    # so the links live in a side registry rather than as an attribute.
+    # Interning means two independent make_mesh calls can hand back the
+    # SAME object: an unhinted call never overwrites an existing hinted
+    # registration (it expresses no topology opinion), and a hinted call
+    # that conflicts with a live registration warns before replacing it —
+    # the earlier handle's pencil plans would otherwise silently lose
+    # their DCN awareness.
+    prev = _MESH_LINKS.get(mesh)
+    if prev is not None and not had_hints:
+        return mesh
+    if prev is not None and prev != links:
+        import warnings
+
+        warnings.warn(
+            f"make_mesh: replacing topology hints {prev} with {links} for "
+            f"an interned Mesh also in use elsewhere; pencil plans built "
+            f"from the earlier handle will see the new link map.",
+            RuntimeWarning, stacklevel=2)
     _MESH_LINKS[mesh] = dict(links)
     return mesh
 
@@ -83,7 +101,21 @@ def _hybrid_mesh(order, sizes, links) -> Mesh:
         devs = mesh_utils.create_hybrid_device_mesh(
             ici_shape, dcn_shape, devices=jax.devices())
         return Mesh(devs, tuple(order))
-    except Exception:
+    except Exception as e:
+        # Single-granule hosts (this CI/dev environment) legitimately land
+        # here: create_hybrid_device_mesh requires per-granule attributes
+        # the virtual/CPU devices lack.  On a REAL multi-slice deployment a
+        # silent fallback would put ICI axis groups across slice
+        # boundaries, so warn loudly there instead of swallowing.
+        granules = {getattr(d, "slice_index", None) for d in jax.devices()}
+        if len(granules - {None}) > 1:
+            import warnings
+
+            warnings.warn(
+                f"hybrid ICI/DCN mesh construction failed ({e!r}); falling "
+                f"back to a plain mesh whose ICI axes may span slice "
+                f"boundaries — collectives may ride the DCN.",
+                RuntimeWarning, stacklevel=3)
         return jax.make_mesh(tuple(sizes[n] for n in order), tuple(order))
 
 
