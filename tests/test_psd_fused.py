@@ -266,3 +266,113 @@ def test_fused_cross_window_true_warns_once():
                                   true_phase=False, engine="matmul")
     npt.assert_allclose(carray.to_numpy(got.data),
                         carray.to_numpy(ref.data), rtol=1e-10)
+
+
+# ---------------------------------------------------------------------------
+# USER-requested one-sided estimators (real_dim=...) on the fused route
+# ---------------------------------------------------------------------------
+
+def _check_one_sided(da, dims, real_dim, rtol=1e-10, **kw):
+    """engine='xla' rides the generic fft()+abs2+doubling tail; 'matmul'
+    must take the fused one-sided route and agree exactly (reference
+    semantics /root/reference/xrft/xrft.py:685-750, shift forced False
+    for real transforms at :400-404)."""
+    ref = xrft_tpu.power_spectrum(da, dim=dims, real_dim=real_dim,
+                                  engine="xla", **kw)
+    got = xrft_tpu.power_spectrum(da, dim=dims, real_dim=real_dim,
+                                  engine="matmul", **kw)
+    assert got.dims == ref.dims
+    for c in ref.coords:
+        npt.assert_allclose(got.coords[c].values, ref.coords[c].values,
+                            atol=1e-12)
+    scale = float(np.abs(np.asarray(ref.values)).max())
+    npt.assert_allclose(np.asarray(got.values), np.asarray(ref.values),
+                        atol=rtol * scale)
+    return got
+
+
+@pytest.mark.parametrize("window", [None, "hann"])
+@pytest.mark.parametrize("detrend", [None, "linear"])
+@pytest.mark.parametrize("scaling", ["density", "spectrum",
+                                     "false_density"])
+def test_one_sided_psd_parity_grid(window, detrend, scaling):
+    da = LabeledArray(
+        _field((3, 48, 64)), dims=("t", "y", "x"),
+        coords={"y": np.arange(48) * 0.5, "x": np.arange(64) * 0.25},
+    )
+    got = _check_one_sided(da, ["y", "x"], "x", window=window,
+                           detrend=detrend, scaling=scaling)
+    assert got.sizes["freq_x"] == 64 // 2 + 1
+
+
+@pytest.mark.parametrize("nx", [31, 32])
+def test_one_sided_psd_nyquist_parity(nx):
+    # doubling spares DC always, Nyquist only for even N
+    da = LabeledArray(
+        _field((4, 16, nx)), dims=("t", "y", "x"),
+        coords={"y": np.arange(16) * 1.0, "x": np.arange(nx) * 0.5},
+    )
+    _check_one_sided(da, ["y", "x"], "x")
+
+
+def test_one_sided_psd_real_dim_not_last():
+    # dim order lists the real dim first; fused route reorders half-last
+    # and restores the caller's output order
+    da = LabeledArray(
+        _field((4, 32, 24)), dims=("t", "y", "x"),
+        coords={"y": np.arange(32) * 1.0, "x": np.arange(24) * 2.0},
+    )
+    _check_one_sided(da, ["x", "y"], "x", window="hann", detrend="linear")
+
+
+def test_one_sided_psd_1d_and_window_correction():
+    da = LabeledArray(
+        _field((8, 64)), dims=("t", "x"),
+        coords={"x": np.arange(64) * 0.25},
+    )
+    _check_one_sided(da, ["x"], "x", window="hann",
+                     window_correction=True)
+
+
+def test_one_sided_psd_segmented():
+    # chunks_to_segments + real_dim: stacking happens up front, the
+    # fused one-sided route then sees plain batch dims; Nyquist parity
+    # follows the SEGMENT length (documented divergence, spectra.py)
+    da = LabeledArray(
+        _field((2, 64, 64)), dims=("t", "y", "x"),
+        coords={"y": np.arange(64) * 0.5, "x": np.arange(64) * 0.5},
+    ).chunk({"y": 32, "x": 32})
+    ref = xrft_tpu.power_spectrum(da, dim=["y", "x"], real_dim="x",
+                                  engine="xla", chunks_to_segments=True,
+                                  window="hann")
+    got = xrft_tpu.power_spectrum(da, dim=["y", "x"], real_dim="x",
+                                  engine="matmul", chunks_to_segments=True,
+                                  window="hann")
+    assert got.dims == ref.dims == ("t", "y_segment", "freq_y",
+                                    "x_segment", "freq_x")
+    scale = float(np.abs(np.asarray(ref.values)).max())
+    npt.assert_allclose(np.asarray(got.values), np.asarray(ref.values),
+                        atol=1e-10 * scale)
+
+
+@pytest.mark.parametrize("true_phase", [False, True])
+@pytest.mark.parametrize("scaling", ["density", "spectrum"])
+def test_one_sided_cross_parity(true_phase, scaling):
+    rng = np.random.RandomState(3)
+    NY, NX = 32, 48
+    coords = {"y": np.arange(NY) * 0.5, "x": np.arange(NX) * 0.25}
+    a = LabeledArray(rng.randn(4, NY, NX), dims=("t", "y", "x"),
+                     coords=coords)
+    b = LabeledArray(rng.randn(4, NY, NX), dims=("t", "y", "x"),
+                     coords=coords)
+    ref = xrft_tpu.cross_spectrum(a, b, dim=["y", "x"], real_dim="x",
+                                  engine="xla", true_phase=true_phase,
+                                  scaling=scaling, window="hann")
+    got = xrft_tpu.cross_spectrum(a, b, dim=["y", "x"], real_dim="x",
+                                  engine="matmul", true_phase=true_phase,
+                                  scaling=scaling, window="hann")
+    assert got.dims == ref.dims
+    rv = carray.to_numpy(ref.data)
+    gv = carray.to_numpy(got.data)
+    scale = float(np.abs(rv).max())
+    npt.assert_allclose(gv, rv, atol=1e-10 * scale)

@@ -51,6 +51,19 @@ class _Config:
     # the v5e: single dot_general per four-step stage, folded twiddles,
     # no tiny minor dims); "never" forces the round-1 pair engine.
     stacked_fft: str = "auto"
+    # Raw-layout (fused-estimator) engine only: largest pruned-rfft axis
+    # size planned as a SINGLE direct dot instead of the multi-level
+    # factorization.  A one-level plan leaves the one-sided axis fully
+    # contiguous in the raw digit layout, so the estimator's restore
+    # pass is a near-free reshape; multi-level plans interleave it in
+    # level-0-digit-sized runs (8 elements for 1024=(8,128)) that the
+    # TPU transpose emitter moves ~8x slower than bandwidth.  Measured
+    # on the v5e segmented (Welch) flagship core, 128x1024^2 rfft2+|F|^2
+    # +restore: (8,128) plan 26.5 ms vs direct-1024 16.1 ms, f32 error
+    # 1.6e-7 -> 3.6e-7 (scripts/perf_welch_direct.py).  The 4096-size
+    # flagship keeps its (32,128) plan: its 32-wide level-0 runs restore
+    # at ~1.8 ms, and a direct 4096 dot would cost 4x the FLOPs.
+    direct_prune_max: int = 1024
     # Pencil-FFT compute/communication overlap: split each
     # (all_to_all -> local FFT) pair along a resident batch axis into this
     # many independent chunks so XLA's latency-hiding scheduler can overlap

@@ -143,8 +143,21 @@ def _steered_front(da, dims, half_dim, kwargs):
     # fuses the transpose into the elementwise pass and re-inserts both
     # copies.  The restore reshape hands the caller's dim order back for
     # free (axis_order below), so only this one input pass is paid.
-    newdims = ([d for d in dims if d != half_dim]
-               + [d for d in orig_dims if d not in dims] + [half_dim])
+    # Batch dims ordered tile-friendliest LAST: between the per-axis dot
+    # chains the last batch dim occupies the sublane (second-minor) slot
+    # of every intermediate (the just-transformed axis's digits move to
+    # the front, the next axis's final digit stays minor), so a tiny
+    # segment dim there pads 4->8 under the v5e's (8, 128) tiling — a 2x
+    # traffic blowup on the largest arrays in the pipeline.  Measured on
+    # the segmented (Welch) flagship: raw engine 14.75 -> 13.04 ms, and
+    # the restore pass's read side un-pads too
+    # (scripts/perf_welch_layout.py / perf_welch_stages.py).
+    def _sublane_pad(d):
+        s = da.sizes[d]
+        return (-(-s // 8) * 8) / s
+    batch = sorted((d for d in orig_dims if d not in dims),
+                   key=_sublane_pad, reverse=True)
+    newdims = [d for d in dims if d != half_dim] + batch + [half_dim]
     barrier = tuple(orig_dims) != tuple(newdims)
     if barrier:
         import jax
@@ -240,7 +253,7 @@ def _one_sided_labeled(std, ctx, dims, half_dim, shift, prefix, name):
 
 
 def fused_one_sided_psd(da, dims, half_dim, shift, scale, kwargs,
-                        want_padded=False):
+                        want_padded=False, half_factor=None):
     """One-sided PSD of real `da` over `dims` as a single fused program.
 
     Returns ``(out, padded)``: `out` is a LabeledArray shaped like
@@ -252,6 +265,11 @@ def fused_one_sided_psd(da, dims, half_dim, shift, scale, kwargs,
     second element is the UNSLICED engine-width array (half axis last,
     caller dim order) for the Pallas mirror kernel — the slice that
     produces `out.data` is then dead code under jit.
+
+    ``half_factor`` — optional 1-D per-frequency vector over the
+    one-sided half axis (standard order, e.g. the real-dim doubling
+    factor of ``/root/reference/xrft/xrft.py:673-682``), folded into the
+    |.|^2 pass in raw layout (no extra memory pass).
     """
     prefix = kwargs.get("prefix", "freq_")
     re, im, layout, ctx = _fused_raw_rfft(da, dims, half_dim, shift, kwargs)
@@ -259,6 +277,11 @@ def fused_one_sided_psd(da, dims, half_dim, shift, scale, kwargs,
     orig_dims = ctx["orig_dims"]
 
     psd = (re * re + im * im) * jnp.asarray(scale, dtype=rdt)
+    if half_factor is not None:
+        fac = stacked_fft.raw_axis_factor(
+            psd.shape, np.asarray(half_factor, dtype=rdt), layout,
+            layout.prune_axis)
+        psd = psd * jnp.asarray(fac)
     order_in_transposed = [ctx["newdims"].index(d) for d in orig_dims]
     padded = None
     if want_padded:
@@ -308,13 +331,18 @@ def fused_cross_applicable(da1, da2, dims, half_dim, shift, kwargs,
     return True
 
 
-def fused_one_sided_cross(da1, da2, dims, half_dim, shift, scale, kwargs):
+def fused_one_sided_cross(da1, da2, dims, half_dim, shift, scale, kwargs,
+                          half_factor=None):
     """One-sided ``F(da1) * conj(F(da2))`` of two real inputs as a fused
     raw-layout program: both stacked rffts share one layout, the
     conjugated product and the scale run on the raw planes, and only the
     half-size complex result pays the restore passes (one per plane) —
     the per-input epilogues of the generic two-fft path are skipped
     entirely.  Reference semantics: ``/root/reference/xrft/xrft.py:816-825``.
+
+    ``half_factor`` — optional 1-D per-frequency vector over the
+    one-sided half axis (e.g. the real-dim doubling), folded into the
+    product pass in raw layout.
     """
     prefix = kwargs.get("prefix", "freq_")
     if kwargs.get("window") is True:
@@ -334,6 +362,12 @@ def fused_one_sided_cross(da1, da2, dims, half_dim, shift, scale, kwargs):
     s = jnp.asarray(scale, dtype=ctx["rdt"])
     cre = (r1 * r2 + i1 * i2) * s
     cim = (i1 * r2 - r1 * i2) * s
+    if half_factor is not None:
+        fac = jnp.asarray(stacked_fft.raw_axis_factor(
+            cre.shape, np.asarray(half_factor, dtype=ctx["rdt"]), layout,
+            layout.prune_axis))
+        cre = cre * fac
+        cim = cim * fac
     order = [ctx["newdims"].index(d) for d in ctx["orig_dims"]]
     std = carray.ComplexPair(
         stacked_fft.raw_to_standard(cre, layout, axis_order=order),

@@ -62,7 +62,7 @@ from .carray import ComplexPair, as_pair, is_pair
 from .matmul_fft import _dft_matrix_np, _twiddle_np, _PRECISIONS
 
 __all__ = ["stacked_supported", "fft_nd_stacked", "RawStacked",
-           "raw_planes", "raw_to_standard"]
+           "raw_planes", "raw_to_standard", "raw_axis_factor"]
 
 
 def _precision():
@@ -340,6 +340,35 @@ def _axis_dig_positions(layout, ax):
     return [dims.index(_dig(ax, lvl)) for lvl in reversed(range(len(F)))]
 
 
+def raw_axis_factor(x_shape, vec, layout, ax, pad_value=1.0):
+    """Host-side: reshape a 1-D per-frequency factor ``vec`` (standard
+    frequency order) for transform axis ``ax`` into a numpy array that
+    broadcasts over a reduced raw-layout array of shape ``x_shape`` (an
+    elementwise reduction of the planes, post :func:`raw_planes`).  The
+    multiply then fuses into the reduction pass — no extra memory pass,
+    vs. a broadcast multiply after the restore.  ``vec`` may be shorter
+    than the engine-padded digit width of the pruned axis; the tail (dead
+    columns dropped by the restore's prune slice) is filled with
+    ``pad_value``."""
+    poss = _axis_dig_positions(layout, ax)
+    sizes = [int(x_shape[p]) for p in poss]
+    need = int(np.prod(sizes))
+    v = np.asarray(vec)
+    if v.ndim != 1 or v.shape[0] > need:
+        raise ValueError(
+            f"factor of length {v.shape} does not fit digit width {need}")
+    if v.shape[0] < need:
+        v = np.concatenate([v, np.full(need - v.shape[0], pad_value,
+                                       dtype=v.dtype)])
+    vr = v.reshape(sizes)                      # msf digit order
+    order = np.argsort(poss)                   # ascending raw positions
+    vt = np.transpose(vr, tuple(order))
+    bshape = [1] * len(x_shape)
+    for p, s in zip(poss, sizes):
+        bshape[p] = s
+    return vt.reshape(bshape)
+
+
 def raw_to_standard(x, layout, axis_order=None, prune_slice=True):
     """Restore a real reduced raw-layout array (an elementwise reduction
     of the planes, e.g. |F|^2) to standard frequency order with ONE
@@ -415,7 +444,7 @@ def fft_nd_stacked(x, axes, kind: str, pre_shift_axes=(), post_shift_axes=(),
     ``(array, RawStacked)``: the stacked-complex result in the engine's
     deferred-interleave digit layout plus the metadata needed to (a) build
     broadcastable per-axis frequency factors in that layout
-    (:func:`raw_factor`), and (b) restore standard order later with a
+    (:func:`raw_axis_factor`), and (b) restore standard order later with a
     single reshape (:func:`raw_to_standard`).  Estimators that reduce the
     complex planes elementwise (|F|^2) run the reduction in the raw layout
     and only pay the restore pass on the (half-size, real) reduced array.
@@ -467,12 +496,23 @@ def fft_nd_stacked(x, axes, kind: str, pre_shift_axes=(), post_shift_axes=(),
         prune_axis = None
 
     # per-axis radix plans: raw-layout consumers prefer the unrebalanced
-    # big-last split (see plan_raw); the standard epilogue keeps plan()
-    axplan = {
-        ax: (plan_raw(in_shape[ax], cap, ax in pre_set, ax in post_set)
-             if raw else plan(in_shape[ax], cap))
-        for ax in order
-    }
+    # big-last split (see plan_raw); the standard epilogue keeps plan().
+    # The pruned rfft axis of a raw-layout consumer gets a SINGLE direct
+    # dot up to config.direct_prune_max: one digit leaves the one-sided
+    # axis contiguous in the raw layout, collapsing the estimator's
+    # restore pass from level-0-digit-sized runs (a ~13 ms pathological
+    # transpose at 1024=(8,128) on the v5e) to a near-free reshape
+    # (scripts/perf_welch_direct.py; see config.direct_prune_max).
+    axplan = {}
+    for ax in order:
+        n_ax = in_shape[ax]
+        if (raw and ax == prune_axis and ax not in pre_set
+                and cap < n_ax <= config.direct_prune_max):
+            axplan[ax] = (n_ax,)
+        elif raw:
+            axplan[ax] = plan_raw(n_ax, cap, ax in pre_set, ax in post_set)
+        else:
+            axplan[ax] = plan(n_ax, cap)
 
     dims: list = ([_C] if has_c else []) + [_orig(i) for i in range(ndim)]
 

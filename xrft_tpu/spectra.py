@@ -378,6 +378,50 @@ def _power_spectrum_via_rfft(da, dim, half_dim, kwargs, prescale=None):
                              shift, conj_mirror=False)
 
 
+def _one_sided_scale_and_doubling(da, dim, real_dim, scaling,
+                                  window_correction, kwargs):
+    """Shared scalar folding for the USER-requested one-sided fused
+    estimators: returns ``(scale, doubling, fdims)`` — the product of
+    true-amplitude, window-correction and density/spectrum factors, the
+    real-dim doubling vector over the one-sided axis, and the transform
+    dims reordered half-last — or None when the request must take the
+    generic path (unknown scaling value, real_dim not a transform dim).
+
+    Matches the generic tail exactly (all factors commute):
+    ``|fft(da, true_amplitude=True)|^2 * doubling [/ wcf] * fs^(1|2)``
+    (reference ``/root/reference/xrft/xrft.py:685-750``)."""
+    dims = _norm_dim_list(da, dim)
+    if real_dim not in dims:
+        return None
+    if scaling not in ("density", "spectrum", "false_density"):
+        return None
+    fdims = [d for d in dims if d != real_dim] + [real_dim]
+    amp2 = 1.0
+    for d in dims:
+        delta = ce.get_coordinate_spacing(
+            _dim_coord(da, d), kwargs.get("spacing_tol", 1e-3))
+        amp2 *= delta
+    amp2 = amp2 ** 2
+    scale = amp2
+    if scaling != "false_density":
+        pre = 1.0
+        if window_correction:
+            pre = 1.0 / _window_correction_factor(
+                da, dim, scaling, kwargs.get("window")).data
+        fs = 1.0
+        for d in dims:
+            delta = ce.get_coordinate_spacing(
+                _dim_coord(da, d), kwargs.get("spacing_tol", 1e-3))
+            fs *= 1.0 / (da.sizes[d] * delta)
+        scale = amp2 * pre * (fs if scaling == "density" else fs**2)
+    n = da.sizes[real_dim]
+    doubling = np.full(n // 2 + 1, 2.0)
+    doubling[0] = 1.0
+    if n % 2 == 0:
+        doubling[-1] = 1.0
+    return scale, doubling, fdims
+
+
 def _cross_spectrum_via_rfft(da1, da2, dim, half_dim, kwargs, prescale,
                              true_phase):
     """One-sided fast path for the cross spectrum of two REAL inputs:
@@ -474,6 +518,30 @@ def power_spectrum(
             prescale = pre * (fs if scaling == "density" else fs**2)
         return _power_spectrum_via_rfft(da, dim, half, kwargs, prescale)
     else:
+        # USER-requested one-sided spectrum (real_dim=...): the fused
+        # raw-layout route computes exactly this before any mirror, with
+        # the real-dim doubling folded into the |.|^2 pass — the generic
+        # fft()+abs2 path below costs ~1.5-2x more at flagship scale
+        # (scripts/perf_welch_stages.py)
+        if real_dim is not None and not carray.is_pair(da.data) \
+                and np.dtype(da.data.dtype).kind == "f":
+            from .ops import psd_fused
+
+            dims = _norm_dim_list(da, dim)
+            kw = {k: v for k, v in kwargs.items() if k != "shift"}
+            kw["true_amplitude"] = False
+            if real_dim in dims and scaling in ("density", "spectrum",
+                                                "false_density"):
+                fdims = [d for d in dims if d != real_dim] + [real_dim]
+                if psd_fused.fused_psd_applicable(da, fdims, real_dim,
+                                                 False, kw):
+                    scale, doubling, _ = _one_sided_scale_and_doubling(
+                        da, dim, real_dim, scaling, window_correction,
+                        kwargs)
+                    out, _ = psd_fused.fused_one_sided_psd(
+                        da, fdims, real_dim, False, scale, kw,
+                        half_factor=doubling)
+                    return out
         daft = fft(da, dim=dim, real_dim=real_dim, **kwargs)
         updated_dims = [
             d for d in daft.dims if (d not in da.dims and "segment" not in d)
@@ -549,6 +617,32 @@ def cross_spectrum(
         kwargs.pop("true_amplitude", None)
         return _cross_spectrum_via_rfft(da1, da2, dim, half, kwargs,
                                         prescale, true_phase)
+
+    # USER-requested one-sided cross spectrum (real_dim=...): fused
+    # raw-layout route with the real-dim doubling folded into the
+    # conjugated-product pass (mirrors the power_spectrum fast path)
+    if real_dim is not None \
+            and not carray.is_pair(da1.data) and not carray.is_pair(da2.data) \
+            and np.dtype(da1.data.dtype).kind == "f" \
+            and np.dtype(da2.data.dtype).kind == "f":
+        from .ops import psd_fused
+
+        dims = _norm_dim_list(da1, dim)
+        kw = {k: v for k, v in kwargs.items()
+              if k not in ("shift", "true_amplitude")}
+        kw["true_amplitude"] = False
+        if real_dim in dims and scaling in ("density", "spectrum",
+                                            "false_density"):
+            fdims = [d for d in dims if d != real_dim] + [real_dim]
+            if psd_fused.fused_cross_applicable(da1, da2, fdims, real_dim,
+                                                False, kw, true_phase):
+                scale, doubling, _ = _one_sided_scale_and_doubling(
+                    da1, dim, real_dim, scaling, window_correction, kwargs)
+                out = psd_fused.fused_one_sided_cross(
+                    da1, da2, fdims, real_dim, False, scale, kw,
+                    half_factor=doubling)
+                out.name = None
+                return out
 
     daft1 = fft(da1, dim=dim, real_dim=real_dim, true_phase=true_phase, **kwargs)
     daft2 = fft(da2, dim=dim, real_dim=real_dim, true_phase=true_phase, **kwargs)
