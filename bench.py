@@ -285,6 +285,17 @@ def main():
     extras["welch_psd_flagship_ms"] = round(
         loop_per_iter(step_welch, da_w.data, k=8), 2)
 
+    # one-sided flagship: user-requested real_dim= PSD (the scipy.welch /
+    # periodogram convention) rides the fused raw-layout route with the
+    # doubling folded into the |F|^2 pass (round-3: 25.6 -> ~19 ms)
+    def step_onesided(xx):
+        ps = xrft_tpu.power_spectrum(
+            da.copy(data=xx), dim=["y", "x"], real_dim="x", window="hann")
+        return jnp.sum(ps.data)
+
+    extras["onesided_psd_flagship_ms"] = round(
+        loop_per_iter(step_onesided, da.data, k=8), 2)
+
     # ---- VERDICT r2 item 4: hp at scale (config 2's true shape and a
     # >= 4M-point transform)
     N6 = 1024

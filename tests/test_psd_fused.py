@@ -376,3 +376,38 @@ def test_one_sided_cross_parity(true_phase, scaling):
     gv = carray.to_numpy(got.data)
     scale = float(np.abs(rv).max())
     npt.assert_allclose(gv, rv, atol=1e-10 * scale)
+
+
+@pytest.mark.parametrize("dec_dim", ["y", "x"])
+def test_one_sided_decreasing_coords(dec_dim):
+    # decreasing coordinates (reference flip at
+    # /root/reference/xrft/xrft.py:435-442) through the one-sided route
+    rng = np.random.RandomState(5)
+    NY, NX = 32, 48
+    coords = {"y": np.arange(NY) * 0.5, "x": np.arange(NX) * 0.25}
+    coords[dec_dim] = coords[dec_dim][::-1].copy()
+    da = LabeledArray(rng.randn(4, NY, NX), dims=("t", "y", "x"),
+                      coords=coords)
+    _check_one_sided(da, ["y", "x"], "x", window="hann")
+
+
+def test_direct_prune_knob_parity():
+    """config.direct_prune_max gates the single-dot prune plan; 0 keeps
+    the factorized plans — both must agree with the generic path (keeps
+    the multi-level prune branch covered now that the default takes the
+    direct plan for sizes up to 1024)."""
+    from xrft_tpu.config import config as _cfg
+
+    da = LabeledArray(
+        _field((3, 32, 256)), dims=("t", "y", "x"),
+        coords={"y": np.arange(32) * 0.5, "x": np.arange(256) * 0.25},
+    )
+    got_direct = _check_one_sided(da, ["y", "x"], "x", window="hann")
+    old = _cfg.direct_prune_max
+    _cfg.direct_prune_max = 0
+    try:
+        got_fact = _check_one_sided(da, ["y", "x"], "x", window="hann")
+    finally:
+        _cfg.direct_prune_max = old
+    npt.assert_allclose(np.asarray(got_direct.values),
+                        np.asarray(got_fact.values), rtol=1e-10)

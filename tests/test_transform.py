@@ -519,3 +519,34 @@ def test_pad_stat_kwargs():
     p = xrft_tpu.pad(da, {"x": 2}, mode="reflect", reflect_type="odd")
     ref = np.pad(da.values, 2, mode="reflect", reflect_type="odd")
     npt.assert_allclose(p.values, ref)
+
+
+@pytest.mark.parametrize("shape", [(15, 16), (16, 18), (12, 20), (9, 14)])
+@pytest.mark.parametrize("true_phase", [True, False])
+@pytest.mark.parametrize("shift", [True, False])
+def test_irfft_shift_absorption_parity(shape, true_phase, shift):
+    """irfft forwards its input/output shifts to the engine for
+    absorption (matmul: weight constants + the packed half-length roll
+    when n % 4 == 0, explicit fallback when n % 4 == 2); every flag
+    combo must match the xla path bit-for-bit-in-f64.  Reference shift
+    semantics: /root/reference/xrft/xrft.py:608-621."""
+    import warnings as _w
+
+    NY, NX = shape
+    rng = np.random.RandomState(1)
+    x = rng.randn(3, NY, NX)
+    da = LabeledArray(x, dims=("t", "y", "x"),
+                      coords={"y": np.arange(NY) * 0.5,
+                              "x": np.arange(NX) * 0.25})
+    with _w.catch_warnings():
+        _w.simplefilter("ignore")
+        ft = xrft_tpu.fft(da, dim=["y", "x"], real_dim="x",
+                          engine="matmul", true_phase=true_phase,
+                          shift=shift)
+        kw = dict(dim=["freq_y", "freq_x"], real_dim="freq_x",
+                  true_phase=true_phase, shift=shift,
+                  lag=[float(np.arange(NY)[NY // 2] * 0.5), 0.0])
+        got = xrft_tpu.ifft(ft, engine="matmul", **kw)
+        ref = xrft_tpu.ifft(ft, engine="xla", **kw)
+    npt.assert_allclose(np.asarray(got.values), np.asarray(ref.values),
+                        atol=1e-10)

@@ -93,15 +93,10 @@ def _dispatch(x, axes, kind, engine=None, pre_shift_axes=(),
         if split_out and np.dtype(out.dtype).kind == "c":
             out = as_pair(out)
         return out
-    if kind in ("fft", "rfft", "ifft"):
-        # shifts are absorbed into the engine's constant matrices
-        out = matmul_fft_nd(x, axes, kind, pre, post, post_kind)
-    else:
-        if pre:
-            x = carray.ifftshift(x, pre)
-        out = matmul_fft_nd(x, axes, kind)
-        if post:
-            out = post_fn(out, post)
+    # shifts are absorbed into the engine's constant matrices (for irfft:
+    # non-real axes via weights, the real-axis output roll via the packed
+    # half-length transform when n % 4 == 0, explicit otherwise)
+    out = matmul_fft_nd(x, axes, kind, pre, post, post_kind)
     if not split_out and is_pair(out):
         out = as_native(out)
     return out
@@ -124,9 +119,10 @@ def rfftn(x, axes, engine=None, pre_shift_axes=(), post_shift_axes=()):
                      post_shift_axes)
 
 
-def irfftn(x, axes, engine=None, pre_shift_axes=(), post_shift_axes=()):
+def irfftn(x, axes, engine=None, pre_shift_axes=(), post_shift_axes=(),
+           post_kind="fftshift"):
     return _dispatch(x, axes, "irfft", engine, pre_shift_axes,
-                     post_shift_axes)
+                     post_shift_axes, post_kind)
 
 
 def fftshift(x, axes):

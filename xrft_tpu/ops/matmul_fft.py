@@ -314,7 +314,7 @@ def _rfft_packed_last(x, n) -> ComplexPair:
     return carray.concatenate([head, nyq], axis=-1)
 
 
-def _irfft_packed_last(X, n, rdtype) -> jnp.ndarray:
+def _irfft_packed_last(X, n, rdtype, post_roll=False) -> jnp.ndarray:
     """irfft of a one-sided pair X (last axis, m+1 = n/2+1 columns) via the
     inverse even/odd packing trick — the half-length dual of
     :func:`_rfft_packed_last`:
@@ -327,8 +327,16 @@ def _irfft_packed_last(X, n, rdtype) -> jnp.ndarray:
     matching pocketfft's c2r semantics (``np.fft.irfft`` ignores them), so
     the result is bit-equal in expectation to the Hermitian-mirror +
     full-length-ifft formulation at half the trailing-axis traffic.
+
+    ``post_roll=True`` emits ``fftshift`` of the real output (an n/2
+    roll; fftshift == ifftshift for even n) absorbed as an m/2 roll of
+    ``z`` — valid only when ``n % 4 == 0`` (the n/2 roll then preserves
+    the even/odd interleave parity); callers gate on that.  Rides the
+    half-length engine's absorbed output permutation (zero memory
+    passes) instead of an explicit roll of the full-size real result.
     """
     m = n // 2
+    assert not post_roll or n % 4 == 0
     Xh = carray.getitem(X, (Ellipsis, slice(0, m)))
     Xr = carray.flip(carray.getitem(X, (Ellipsis, slice(1, m + 1))), [-1])
     # zero the DC (Xh col 0) / Nyquist (Xr col 0) imaginary parts
@@ -344,10 +352,15 @@ def _irfft_packed_last(X, n, rdtype) -> jnp.ndarray:
     Z = ComplexPair(E.re - O.im, E.im + O.re)
     from . import stacked_fft
 
-    if stacked_fft.stacked_supported(Z, [Z.ndim - 1], "ifft", set(), set()):
-        z = stacked_fft.fft_nd_stacked(Z, [Z.ndim - 1], "ifft")
+    post_axes = {Z.ndim - 1} if post_roll else set()
+    if stacked_fft.stacked_supported(Z, [Z.ndim - 1], "ifft", set(),
+                                     post_axes):
+        z = stacked_fft.fft_nd_stacked(Z, [Z.ndim - 1], "ifft", (),
+                                       tuple(post_axes), "fftshift")
     else:
         z = _fft_last_impl(Z, m, +1, rdtype) * (1.0 / m)
+        if post_roll:
+            z = carray.fftshift(z, [-1])
     # interleave: x[2j] = Re z[j], x[2j+1] = Im z[j]
     out = jnp.stack([z.re, z.im], axis=-1)
     return out.reshape(out.shape[:-2] + (n,))
@@ -424,26 +437,44 @@ def matmul_fft_nd(x, axes, kind: str, pre_shift_axes=(), post_shift_axes=(),
     if kind == "irfft":
         if axes[-1] != ndim - 1:
             raise ValueError("irfft axis must be the last axis")
+        if ndim - 1 in pre_shift_axes:
+            raise ValueError(
+                "input ifftshift on the one-sided real axis is undefined")
         mm = x.shape[-1]
         n = 2 * (mm - 1)
         out = as_pair(x) if not is_pair(x) else x
         # inverse-transform the non-real axes (on the cheap half-spectrum
         # array), then rebuild the Hermitian-symmetric full spectrum and
-        # inverse the real axis; each stage prefers the stacked engine
+        # inverse the real axis; each stage prefers the stacked engine.
+        # Input/output shifts on the non-real axes are absorbed into the
+        # engine weights; the real-axis OUTPUT shift (an n/2 roll,
+        # fftshift == ifftshift for the structurally even n) is absorbed
+        # as an m/2 roll of the packed half-length transform when
+        # n % 4 == 0, else applied explicitly
+        post_real = (ndim - 1) in post_shift_axes
         scale = 1.0
         if axes[:-1]:
+            pre_nr = {a for a in axes[:-1] if a in pre_shift_axes}
+            post_nr = {a for a in axes[:-1] if a in post_shift_axes}
             if stacked_fft.stacked_supported(out, axes[:-1], "ifft",
-                                             set(), set()):
-                out = stacked_fft.fft_nd_stacked(out, axes[:-1], "ifft")
+                                             pre_nr, post_nr):
+                out = stacked_fft.fft_nd_stacked(
+                    out, axes[:-1], "ifft", tuple(pre_nr), tuple(post_nr),
+                    post_kind)
             else:
                 for a in axes[:-1]:
-                    out = _transform_axis(out, a, +1)
+                    out = _transform_axis(out, a, +1, a in pre_nr,
+                                          post_of(a))
                     scale *= x.shape[a]
         if n >= 2:
             # half-length packed inverse (even n is structural here:
             # n = 2*(mm-1)); halves the trailing-axis dot + memory work
             rdtype = _rdtype_of(out)
-            res = _irfft_packed_last(out, n, rdtype)
+            absorb_real = post_real and n % 4 == 0
+            res = _irfft_packed_last(out, n, rdtype, post_roll=absorb_real)
+            if post_real and not absorb_real:
+                res = (carray.fftshift if post_kind == "fftshift"
+                       else carray.ifftshift)(res, [ndim - 1])
             return res * (1.0 / scale) if scale != 1.0 else res
         tail = carray.conj(out[..., -2:0:-1])
         full = carray.concatenate([out, tail], axis=-1)
@@ -453,5 +484,9 @@ def matmul_fft_nd(x, axes, kind: str, pre_shift_axes=(), post_shift_axes=(),
         else:
             out = fft_last(full, +1)
             scale *= n
-        return out.re * (1.0 / scale) if scale != 1.0 else out.re
+        res = out.re * (1.0 / scale) if scale != 1.0 else out.re
+        if post_real:
+            res = (carray.fftshift if post_kind == "fftshift"
+                   else carray.ifftshift)(res, [ndim - 1])
+        return res
     raise ValueError(f"unknown kind {kind!r}")

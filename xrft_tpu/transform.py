@@ -46,7 +46,7 @@ def _run_core(data, axes, kind, engine, pre_shift_axes=(),
     fn = {"fft": fft_core.fftn, "ifft": fft_core.ifftn,
           "rfft": fft_core.rfftn, "irfft": fft_core.irfftn}[kind]
     kw = {}
-    if kind == "ifft":
+    if kind in ("ifft", "irfft"):
         kw["post_kind"] = post_kind
     return fn(data, axes, engine=engine, pre_shift_axes=pre_shift_axes,
               post_shift_axes=post_shift_axes, **kw)
@@ -451,19 +451,12 @@ def ifft(
         post_axes, post_kind = (), "fftshift"
 
     kind = "ifft" if real_dim is None else "irfft"
-    if kind == "irfft":
-        # real-output kind: explicit shifts (the engine absorbs only
-        # complex-output permutations)
-        f = fft_core.ifftshift(daft.data, axes=axis_shift)
-        f = _run_core(f, axis_num, kind, engine)
-        if not true_phase:
-            f = fft_core.ifftshift(f, axes=axis_num)
-        if shift:
-            f = fft_core.fftshift(f, axes=axis_num)
-    else:
-        f = _run_core(daft.data, axis_num, kind, engine,
-                      pre_shift_axes=axis_shift, post_shift_axes=post_axes,
-                      post_kind=post_kind)
+    # both kinds forward the shifts for engine absorption (matmul: into
+    # weight constants incl. the packed-irfft half-length roll; xla /
+    # callable engines apply them explicitly inside the dispatch)
+    f = _run_core(daft.data, axis_num, kind, engine,
+                  pre_shift_axes=axis_shift, post_shift_axes=post_axes,
+                  post_kind=post_kind)
 
     k = ce.ifreq_grids(N, delta_x, real_dim is not None, shift)
 
