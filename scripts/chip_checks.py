@@ -88,6 +88,36 @@ def main():
     check("pipeline PSD rel err",
           np.abs(ps.values - refps).max() / refps.max(), 1e-5)
 
+    # 4a. user-requested one-sided PSD (real_dim=) — the fused raw-layout
+    # route with the doubling folded into |F|^2 and the direct-prune
+    # plan, and the segmented (Welch) variant — vs the host oracle
+    ps1 = xrft_tpu.power_spectrum(da2, dim=["y", "x"], real_dim="x",
+                                  window="hann", detrend="linear")
+    M = N // 2 + 1
+    Fo1 = np.fft.rfftn(vp * (w * w[:, None]), axes=(0, 1)) * 0.25
+    dbl = np.full(M, 2.0)
+    dbl[0] = dbl[-1] = 1.0
+    refps1 = np.abs(Fo1) ** 2 * dbl[None, :] * (1 / (N * 0.5)) ** 2
+    check("one-sided PSD rel err",
+          np.abs(ps1.values - refps1).max() / refps1.max(), 1e-5)
+
+    S = N // 2
+    daw = da2.chunk({"y": S, "x": S})
+    psw = xrft_tpu.power_spectrum(daw, dim=["y", "x"], window="hann",
+                                  chunks_to_segments=True)
+    ws = sps.windows.hann(S, sym=False)
+    err_w = 0.0
+    for i in range(2):
+        for j in range(2):
+            seg = v[i * S:(i + 1) * S, j * S:(j + 1) * S]
+            Fs = np.fft.fftshift(np.fft.fftn(seg * (ws * ws[:, None]))) \
+                * 0.25
+            refs = np.abs(Fs) ** 2 * (1 / (S * 0.5)) ** 2
+            err_w = max(err_w, np.abs(
+                np.asarray(psw.values)[i, :, j, :] - refs).max()
+                / refs.max())
+    check("welch segmented PSD rel err", err_w, 1e-5)
+
     # 4b. compiled Pallas binned-sum kernel vs f64 host bincount oracle at
     # a large-grid size (2048^2 points, 512 bins — above ONEHOT_MAX so the
     # real Mosaic kernel runs; repo tests only exercise interpret mode on

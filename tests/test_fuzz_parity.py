@@ -185,3 +185,134 @@ def test_fft_fuzz_vs_numpy_reference(case, mode):
     # strict bounds are pinned on-chip in scripts/chip_checks.py)
     atol = 2e-10 if case.get("engine") == "hp" else 5e-11
     npt.assert_allclose(got.values / scale, F / scale, atol=atol)
+
+
+# ---------------------------------------------------------------------------
+# Estimator fuzz: power_spectrum / cross_spectrum kwarg space vs an
+# independent numpy model (reference /root/reference/xrft/xrft.py:685-835),
+# including user-requested one-sided output (real_dim=) which rides the
+# fused raw-layout route on engine="matmul"
+# ---------------------------------------------------------------------------
+
+EST_CASES = []
+_erng = np.random.RandomState(7)
+for i in range(16):
+    ndim = _erng.randint(2, 4)
+    shape = tuple(_erng.choice([8, 12, 15, 16, 20, 24]) for _ in range(ndim))
+    n_t = _erng.randint(1, ndim)
+    tdims = sorted(_erng.choice(ndim, size=max(n_t, 1),
+                                replace=False).tolist())
+    EST_CASES.append(dict(
+        seed=200 + i,
+        shape=shape,
+        tdims=tdims,
+        cross=bool(_erng.rand() < 0.4),
+        one_sided=bool(_erng.rand() < 0.6),
+        shift=bool(_erng.rand() < 0.5),
+        window=[None, "hann", "blackman"][_erng.randint(3)],
+        detrend=[None, "constant", "linear"][_erng.randint(3)],
+        scaling=["density", "spectrum", "false_density"][_erng.randint(3)],
+        wcorr=bool(_erng.rand() < 0.4),
+        true_phase=bool(_erng.rand() < 0.5),
+        decreasing=bool(_erng.rand() < 0.25),
+        engine=[None, "matmul", "xla"][_erng.randint(3)],
+    ))
+    if EST_CASES[-1]["window"] is None:
+        EST_CASES[-1]["wcorr"] = False  # correction requires a window
+
+
+@pytest.mark.parametrize("case", EST_CASES, ids=lambda c: f"est{c['seed']}")
+def test_estimator_fuzz_vs_numpy_reference(case):
+    import warnings
+
+    import xrft_tpu
+    from xrft_tpu.ops import carray
+
+    rs = np.random.RandomState(case["seed"])
+    shape = case["shape"]
+    ndim = len(shape)
+    dims = [f"d{i}" for i in range(ndim)]
+    coords = {}
+    for i, n in enumerate(shape):
+        dx = 0.1 + rs.rand()
+        c = rs.randn() * 2 + dx * np.arange(n)
+        if case["decreasing"] and i in case["tdims"] and rs.rand() < 0.5:
+            c = c[::-1].copy()
+        coords[dims[i]] = c
+    vals1 = rs.randn(*shape)
+    vals2 = rs.randn(*shape)
+    da1 = LabeledArray(vals1, dims=dims, coords=coords)
+    da2 = LabeledArray(vals2, dims=dims, coords=coords)
+
+    tnames = [dims[i] for i in case["tdims"]]
+    real_i = case["tdims"][-1] if case["one_sided"] else None
+    real_dim = dims[real_i] if real_i is not None else None
+
+    kw = dict(dim=tnames, shift=case["shift"], window=case["window"],
+              detrend=case["detrend"], scaling=case["scaling"],
+              window_correction=case["wcorr"], engine=case["engine"])
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        if case["cross"]:
+            got = xrft_tpu.cross_spectrum(da1, da2, real_dim=real_dim,
+                                          true_phase=case["true_phase"],
+                                          **kw)
+            gv = carray.to_numpy(got.data)
+        else:
+            got = xrft_tpu.power_spectrum(da1, real_dim=real_dim, **kw)
+            gv = np.asarray(got.values)
+
+    # ---- independent numpy model
+    def model_F(vals, tp):
+        if real_dim is not None:
+            order = [i for i in range(ndim) if i != real_i] + [real_i]
+            v_ref = np.transpose(vals, order)
+            coords_ref = [coords[dims[i]] for i in case["tdims"][:-1]] \
+                + [coords[dims[real_i]]]
+            axes_ref = [order.index(i) for i in case["tdims"]]
+            F = numpy_reference_fft(v_ref, coords_ref, axes_ref,
+                                    real_axis=axes_ref[-1],
+                                    shift=case["shift"],
+                                    detrend=case["detrend"],
+                                    window=case["window"], true_phase=tp,
+                                    true_amplitude=True)
+            return np.transpose(F, np.argsort(order))
+        coords_list = [coords[dims[i]] for i in case["tdims"]]
+        return numpy_reference_fft(vals, coords_list, list(case["tdims"]),
+                                   None, case["shift"], case["detrend"],
+                                   case["window"], tp, True)
+
+    if case["cross"]:
+        F1 = model_F(vals1, case["true_phase"])
+        F2 = model_F(vals2, case["true_phase"])
+        ref = F1 * np.conj(F2)
+    else:
+        ref = np.abs(model_F(vals1, False)) ** 2
+
+    if real_dim is not None:
+        n = shape[real_i]
+        dbl = np.full(n // 2 + 1, 2.0)
+        dbl[0] = 1.0
+        if n % 2 == 0:
+            dbl[-1] = 1.0
+        shp = [1] * ndim
+        shp[real_i] = dbl.size
+        ref = ref * dbl.reshape(shp)
+
+    if case["scaling"] != "false_density":
+        fs = 1.0
+        for i in case["tdims"]:
+            c = coords[dims[i]]
+            fs *= 1.0 / (shape[i] * abs(np.diff(c)[0]))
+        wcf = 1.0
+        if case["wcorr"]:
+            wcf = 1.0
+            for i in case["tdims"]:
+                w = sps.windows.get_window(case["window"], shape[i],
+                                           fftbins=True)
+                wcf *= ((w**2).mean() if case["scaling"] == "density"
+                        else w.mean() ** 2)
+        ref = ref / wcf * (fs if case["scaling"] == "density" else fs**2)
+
+    scale = max(np.abs(ref).max(), 1e-12)
+    npt.assert_allclose(gv / scale, ref / scale, atol=1e-10)

@@ -411,3 +411,17 @@ def test_direct_prune_knob_parity():
         _cfg.direct_prune_max = old
     npt.assert_allclose(np.asarray(got_direct.values),
                         np.asarray(got_fact.values), rtol=1e-10)
+
+
+def test_fused_psd_zero_length_batch_dim():
+    """A zero-length batch dim must trace cleanly through the fused
+    route (regression: the sublane-pad sort key divided by the size)."""
+    da = LabeledArray(
+        np.zeros((0, 16, 32)), dims=("t", "y", "x"),
+        coords={"y": np.arange(16) * 1.0, "x": np.arange(32) * 1.0},
+    )
+    ps2 = xrft_tpu.power_spectrum(da, dim=["y", "x"], engine="matmul")
+    assert ps2.shape == (0, 16, 32)
+    ps1 = xrft_tpu.power_spectrum(da, dim=["y", "x"], real_dim="x",
+                                  engine="matmul")
+    assert ps1.shape == (0, 16, 17)

@@ -154,6 +154,8 @@ def _steered_front(da, dims, half_dim, kwargs):
     # (scripts/perf_welch_layout.py / perf_welch_stages.py).
     def _sublane_pad(d):
         s = da.sizes[d]
+        if s == 0:
+            return 1.0  # zero-length batch dim: nothing to pad
         return (-(-s // 8) * 8) / s
     batch = sorted((d for d in orig_dims if d not in dims),
                    key=_sublane_pad, reverse=True)

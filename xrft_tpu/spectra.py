@@ -54,9 +54,20 @@ def _psd_scaling_factor(ps, dims, scaling):
     raise ValueError(f"Unknown {scaling} scaling flag")
 
 
+def _doubling_vector(n):
+    """One-sided doubling over the ``n//2 + 1`` rfft bins: 2 everywhere
+    except DC (and Nyquist when ``n`` even)
+    (reference ``/root/reference/xrft/xrft.py:673-682``)."""
+    f = np.full(n // 2 + 1, 2.0)
+    f[0] = 1.0
+    if n % 2 == 0:
+        f[-1] = 1.0
+    return f
+
+
 def _psd_real_dim_scaling(da, ps, real_dim, updated_dims):
-    """One-sided spectrum doubling on the real freq axis, except DC (and
-    Nyquist when N even) (reference ``/root/reference/xrft/xrft.py:673-682``).
+    """One-sided spectrum doubling on the real freq axis, as a broadcast
+    LabeledArray (see :func:`_doubling_vector`).
 
     Deliberate divergence: with ``chunks_to_segments`` the parity is the
     SEGMENT length (``da`` reaches this helper already stacked), because
@@ -66,11 +77,7 @@ def _psd_real_dim_scaling(da, ps, real_dim, updated_dims):
     parities differ; pinned in
     ``tests/test_spectra.py::test_segmented_real_dim_nyquist_parity``."""
     real = next(d for d in updated_dims if d.endswith(real_dim))
-    f = np.full(ps.sizes[real], 2.0)
-    if da.sizes[real_dim] % 2 == 0:
-        f[0], f[-1] = 1.0, 1.0
-    else:
-        f[0] = 1.0
+    f = _doubling_vector(da.sizes[real_dim])
     return LabeledArray(f, dims=(real,), coords={real: ps.coords[real]})
 
 
@@ -378,48 +385,82 @@ def _power_spectrum_via_rfft(da, dim, half_dim, kwargs, prescale=None):
                              shift, conj_mirror=False)
 
 
-def _one_sided_scale_and_doubling(da, dim, real_dim, scaling,
-                                  window_correction, kwargs):
-    """Shared scalar folding for the USER-requested one-sided fused
-    estimators: returns ``(scale, doubling, fdims)`` — the product of
-    true-amplitude, window-correction and density/spectrum factors, the
-    real-dim doubling vector over the one-sided axis, and the transform
-    dims reordered half-last — or None when the request must take the
-    generic path (unknown scaling value, real_dim not a transform dim).
+def _density_prescale(da, dim, scaling, window_correction, kwargs):
+    """Scalar folded into the fused routes' |.|^2 / product pass: the
+    window-correction divisor and the density (prod df) / spectrum
+    (prod df squared) factor; None for ``false_density`` (raw mode).
+    Reference tail: ``/root/reference/xrft/xrft.py:649-670,745-748``."""
+    if scaling == "false_density":
+        return None
+    pre = 1.0
+    if window_correction:
+        pre = 1.0 / _window_correction_factor(
+            da, dim, scaling, kwargs.get("window")).data
+    fs = 1.0
+    for d in _norm_dim_list(da, dim):
+        delta = ce.get_coordinate_spacing(
+            _dim_coord(da, d), kwargs.get("spacing_tol", 1e-3))
+        fs *= 1.0 / (da.sizes[d] * delta)
+    return pre * (fs if scaling == "density" else fs**2)
+
+
+def _try_fused_one_sided(das, dim, real_dim, scaling, window_correction,
+                         true_phase, kwargs):
+    """Route a USER-requested one-sided estimate (``real_dim=``) through
+    the fused raw-layout engine: |F|^2 (one input) or F1*conj(F2) (two
+    inputs) with the real-dim doubling and every density/window scalar
+    folded into the engine's elementwise pass.  Returns the finished
+    LabeledArray, or None when the request must take the generic path
+    (complex/non-float data, unknown scaling value, real_dim not a
+    transform dim, engine/kwargs outside the fused route's support).
 
     Matches the generic tail exactly (all factors commute):
     ``|fft(da, true_amplitude=True)|^2 * doubling [/ wcf] * fs^(1|2)``
-    (reference ``/root/reference/xrft/xrft.py:685-750``)."""
-    dims = _norm_dim_list(da, dim)
+    (reference ``/root/reference/xrft/xrft.py:685-835``; shift forced
+    False for real transforms at ``:400-404``)."""
+    from .ops import psd_fused
+
+    da1 = das[0]
+    for da in das:
+        if carray.is_pair(da.data) or np.dtype(da.data.dtype).kind != "f":
+            return None
+    dims = _norm_dim_list(da1, dim)
     if real_dim not in dims:
         return None
     if scaling not in ("density", "spectrum", "false_density"):
         return None
     fdims = [d for d in dims if d != real_dim] + [real_dim]
+    kw = {k: v for k, v in kwargs.items()
+          if k not in ("shift", "true_amplitude")}
+    kw["true_amplitude"] = False
+    if len(das) == 1:
+        if not psd_fused.fused_psd_applicable(da1, fdims, real_dim, False,
+                                              kw):
+            return None
+    elif not psd_fused.fused_cross_applicable(das[0], das[1], fdims,
+                                              real_dim, False, kw,
+                                              true_phase):
+        return None
+
     amp2 = 1.0
     for d in dims:
-        delta = ce.get_coordinate_spacing(
-            _dim_coord(da, d), kwargs.get("spacing_tol", 1e-3))
-        amp2 *= delta
+        amp2 *= ce.get_coordinate_spacing(
+            _dim_coord(da1, d), kwargs.get("spacing_tol", 1e-3))
     amp2 = amp2 ** 2
-    scale = amp2
-    if scaling != "false_density":
-        pre = 1.0
-        if window_correction:
-            pre = 1.0 / _window_correction_factor(
-                da, dim, scaling, kwargs.get("window")).data
-        fs = 1.0
-        for d in dims:
-            delta = ce.get_coordinate_spacing(
-                _dim_coord(da, d), kwargs.get("spacing_tol", 1e-3))
-            fs *= 1.0 / (da.sizes[d] * delta)
-        scale = amp2 * pre * (fs if scaling == "density" else fs**2)
-    n = da.sizes[real_dim]
-    doubling = np.full(n // 2 + 1, 2.0)
-    doubling[0] = 1.0
-    if n % 2 == 0:
-        doubling[-1] = 1.0
-    return scale, doubling, fdims
+    prescale = _density_prescale(da1, dim, scaling, window_correction,
+                                 kwargs)
+    scale = amp2 if prescale is None else amp2 * prescale
+    doubling = _doubling_vector(da1.sizes[real_dim])
+
+    if len(das) == 1:
+        out, _ = psd_fused.fused_one_sided_psd(
+            da1, fdims, real_dim, False, scale, kw, half_factor=doubling)
+        return out
+    out = psd_fused.fused_one_sided_cross(
+        das[0], das[1], fdims, real_dim, False, scale, kw,
+        half_factor=doubling)
+    out.name = None
+    return out
 
 
 def _cross_spectrum_via_rfft(da1, da2, dim, half_dim, kwargs, prescale,
@@ -504,18 +545,8 @@ def power_spectrum(
     half = _half_spectrum_dim(da, dim, real_dim, kwargs)
     if half is not None:
         # fold the scalar density/window factors into the |.|^2 pass
-        prescale = None
-        if scaling != "false_density":
-            pre = 1.0
-            if window_correction:
-                pre = 1.0 / _window_correction_factor(
-                    da, dim, scaling, kwargs.get("window")).data
-            fs = 1.0
-            for d in _norm_dim_list(da, dim):
-                delta = ce.get_coordinate_spacing(
-                    _dim_coord(da, d), kwargs.get("spacing_tol", 1e-3))
-                fs *= 1.0 / (da.sizes[d] * delta)
-            prescale = pre * (fs if scaling == "density" else fs**2)
+        prescale = _density_prescale(da, dim, scaling, window_correction,
+                                     kwargs)
         return _power_spectrum_via_rfft(da, dim, half, kwargs, prescale)
     else:
         # USER-requested one-sided spectrum (real_dim=...): the fused
@@ -523,25 +554,11 @@ def power_spectrum(
         # the real-dim doubling folded into the |.|^2 pass — the generic
         # fft()+abs2 path below costs ~1.5-2x more at flagship scale
         # (scripts/perf_welch_stages.py)
-        if real_dim is not None and not carray.is_pair(da.data) \
-                and np.dtype(da.data.dtype).kind == "f":
-            from .ops import psd_fused
-
-            dims = _norm_dim_list(da, dim)
-            kw = {k: v for k, v in kwargs.items() if k != "shift"}
-            kw["true_amplitude"] = False
-            if real_dim in dims and scaling in ("density", "spectrum",
-                                                "false_density"):
-                fdims = [d for d in dims if d != real_dim] + [real_dim]
-                if psd_fused.fused_psd_applicable(da, fdims, real_dim,
-                                                 False, kw):
-                    scale, doubling, _ = _one_sided_scale_and_doubling(
-                        da, dim, real_dim, scaling, window_correction,
-                        kwargs)
-                    out, _ = psd_fused.fused_one_sided_psd(
-                        da, fdims, real_dim, False, scale, kw,
-                        half_factor=doubling)
-                    return out
+        if real_dim is not None:
+            out = _try_fused_one_sided((da,), dim, real_dim, scaling,
+                                       window_correction, False, kwargs)
+            if out is not None:
+                return out
         daft = fft(da, dim=dim, real_dim=real_dim, **kwargs)
         updated_dims = [
             d for d in daft.dims if (d not in da.dims and "segment" not in d)
@@ -602,18 +619,8 @@ def cross_spectrum(
     half = _half_spectrum_dim(da1, dim, real_dim, kwargs)
     if half is not None and _half_spectrum_dim(
             da2, dim, real_dim, kwargs) == half:
-        prescale = None
-        if scaling != "false_density":
-            pre = 1.0
-            if window_correction:
-                pre = 1.0 / _window_correction_factor(
-                    da1, dim, scaling, kwargs.get("window")).data
-            fs = 1.0
-            for d in _norm_dim_list(da1, dim):
-                delta = ce.get_coordinate_spacing(
-                    _dim_coord(da1, d), kwargs.get("spacing_tol", 1e-3))
-                fs *= 1.0 / (da1.sizes[d] * delta)
-            prescale = pre * (fs if scaling == "density" else fs**2)
+        prescale = _density_prescale(da1, dim, scaling, window_correction,
+                                     kwargs)
         kwargs.pop("true_amplitude", None)
         return _cross_spectrum_via_rfft(da1, da2, dim, half, kwargs,
                                         prescale, true_phase)
@@ -621,28 +628,11 @@ def cross_spectrum(
     # USER-requested one-sided cross spectrum (real_dim=...): fused
     # raw-layout route with the real-dim doubling folded into the
     # conjugated-product pass (mirrors the power_spectrum fast path)
-    if real_dim is not None \
-            and not carray.is_pair(da1.data) and not carray.is_pair(da2.data) \
-            and np.dtype(da1.data.dtype).kind == "f" \
-            and np.dtype(da2.data.dtype).kind == "f":
-        from .ops import psd_fused
-
-        dims = _norm_dim_list(da1, dim)
-        kw = {k: v for k, v in kwargs.items()
-              if k not in ("shift", "true_amplitude")}
-        kw["true_amplitude"] = False
-        if real_dim in dims and scaling in ("density", "spectrum",
-                                            "false_density"):
-            fdims = [d for d in dims if d != real_dim] + [real_dim]
-            if psd_fused.fused_cross_applicable(da1, da2, fdims, real_dim,
-                                                False, kw, true_phase):
-                scale, doubling, _ = _one_sided_scale_and_doubling(
-                    da1, dim, real_dim, scaling, window_correction, kwargs)
-                out = psd_fused.fused_one_sided_cross(
-                    da1, da2, fdims, real_dim, False, scale, kw,
-                    half_factor=doubling)
-                out.name = None
-                return out
+    if real_dim is not None:
+        out = _try_fused_one_sided((da1, da2), dim, real_dim, scaling,
+                                   window_correction, true_phase, kwargs)
+        if out is not None:
+            return out
 
     daft1 = fft(da1, dim=dim, real_dim=real_dim, true_phase=true_phase, **kwargs)
     daft2 = fft(da2, dim=dim, real_dim=real_dim, true_phase=true_phase, **kwargs)
