@@ -176,3 +176,25 @@ def test_jit_over_host_complex128_split_mode():
             true_amplitude=False, shift=False, engine="hp"))(daft)
         refh = np.fft.ifft(np.fft.ifftshift(spec))
         npt.assert_allclose(np.asarray(outh.values), refh, atol=1e-13)
+
+
+@pytest.mark.parametrize("n", [8, 9])
+@pytest.mark.parametrize("kind", ["roll", "reverse", "general"])
+def test_sortby_permutation_fast_paths(n, kind):
+    """sortby's roll/reverse detection (gathers are ~60x off bandwidth
+    on the v5e) must agree with the general take path."""
+    import jax.numpy as jnp
+
+    rng = np.random.RandomState(0)
+    vals = rng.randn(3, n)
+    if kind == "roll":
+        c = np.fft.fftfreq(n)  # natural order: sort is a cyclic roll
+    elif kind == "reverse":
+        c = -np.arange(n, dtype=float)
+    else:
+        c = rng.permutation(n).astype(float)
+    da = LabeledArray(jnp.asarray(vals), dims=("t", "x"), coords={"x": c})
+    out = da.sortby("x")
+    order = np.argsort(c, kind="stable")
+    npt.assert_allclose(np.asarray(out.data), vals[:, order], atol=0)
+    npt.assert_allclose(out.coords["x"].values, c[order], atol=0)

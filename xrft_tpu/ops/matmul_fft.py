@@ -302,8 +302,9 @@ def _rfft_packed_last(x, n) -> ComplexPair:
     m = n // 2
     z = ComplexPair(x[..., 0::2].astype(rdtype), x[..., 1::2].astype(rdtype))
     Z = _fft_last_impl(z, m, -1, rdtype)
-    idx = jnp.asarray((-np.arange(m)) % m)
-    Zc = carray.conj(carray.take(Z, idx, axis=-1))
+    # Z[(-k) % m] == roll(flip(Z), 1): reverse/slice HLOs instead of a
+    # gather (gathers run ~60x off bandwidth on the v5e)
+    Zc = carray.conj(carray.roll(carray.flip(Z, [-1]), 1, -1))
     E = (Z + Zc) * 0.5
     Od = (Z - Zc) * 0.5          # = i * O
     O = ComplexPair(Od.im, -Od.re)  # multiply by -i
