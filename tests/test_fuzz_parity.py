@@ -316,3 +316,63 @@ def test_estimator_fuzz_vs_numpy_reference(case):
 
     scale = max(np.abs(ref).max(), 1e-12)
     npt.assert_allclose(gv / scale, ref / scale, atol=1e-10)
+
+
+# ---------------------------------------------------------------------------
+# Inverse roundtrip fuzz: ifft(fft(s)) == s across random shapes (incl.
+# n % 4 == 2 real axes), engines, real/complex kinds, shift flags and
+# natural vs shifted freq orders — pins the absorbed-shift inverse paths
+# (reference roundtrips /root/reference/xrft/tests/test_xrft.py:1253-1300)
+# ---------------------------------------------------------------------------
+
+RT_CASES = []
+_rrng = np.random.RandomState(31)
+for i in range(14):
+    ndim = _rrng.randint(1, 4)
+    shape = tuple(_rrng.choice([8, 10, 12, 15, 16, 18, 22]) for _ in range(ndim))
+    n_t = _rrng.randint(1, ndim + 1)
+    tdims = sorted(_rrng.choice(ndim, size=n_t, replace=False).tolist())
+    RT_CASES.append(dict(
+        seed=300 + i,
+        shape=shape,
+        tdims=tdims,
+        real=bool(_rrng.rand() < 0.5),
+        shift=bool(_rrng.rand() < 0.5),
+        engine=[None, "matmul", "xla"][_rrng.randint(3)],
+    ))
+
+
+@pytest.mark.parametrize("case", RT_CASES, ids=lambda c: f"rt{c['seed']}")
+def test_roundtrip_fuzz(case):
+    import warnings
+
+    import xrft_tpu
+
+    rs = np.random.RandomState(case["seed"])
+    shape = case["shape"]
+    ndim = len(shape)
+    dims = [f"d{i}" for i in range(ndim)]
+    coords = {dims[i]: rs.randn() + (0.1 + rs.rand()) * np.arange(n)
+              for i, n in enumerate(shape)}
+    vals = rs.randn(*shape)
+    da = LabeledArray(vals, dims=dims, coords=coords)
+    tnames = [dims[i] for i in case["tdims"]]
+    real_dim = tnames[-1] if case["real"] else None
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        F = xrft_tpu.fft(da, dim=tnames, real_dim=real_dim,
+                         true_phase=True, true_amplitude=True,
+                         shift=case["shift"], engine=case["engine"])
+        lags = [F.coords[f"freq_{d}"].attrs["direct_lag"] for d in tnames]
+        back = xrft_tpu.ifft(
+            F, dim=[f"freq_{d}" for d in tnames],
+            real_dim=f"freq_{real_dim}" if real_dim else None,
+            true_phase=True, true_amplitude=True, lag=lags,
+            engine=case["engine"])
+    got = np.asarray(back.values)
+    if np.iscomplexobj(got):
+        got = got.real
+    npt.assert_allclose(got, vals, atol=1e-9)
+    for d in tnames:
+        npt.assert_allclose(back.coords[d].values, coords[d], atol=1e-9)
