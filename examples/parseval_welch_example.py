@@ -55,3 +55,27 @@ ps_amp = xrft_tpu.power_spectrum(
 peak = ps_amp.sel(freq_t=fsig, method="nearest").item()
 print(f"amplitude-corrected spectrum peak: {peak:.4f} "
       f"(theory {0.5 * A**2 / 2:.4f})")
+
+# ---------------------------------------------------------------------------
+# One-sided Welch estimate == scipy.signal.welch
+#
+# power_spectrum(real_dim=...) emits the one-sided convention directly
+# (doubling on the real axis except DC/Nyquist); with density scaling,
+# hann window, window_correction and non-overlapping segments the
+# segment mean IS scipy.signal.welch(noverlap=0, detrend=False).
+# On TPU this path runs as one fused raw-layout program.
+# ---------------------------------------------------------------------------
+import scipy.signal as sps
+
+ps_one = xrft_tpu.power_spectrum(
+    x_da, dim="t", real_dim="t", window="hann", chunks_to_segments=True,
+    window_correction=True,
+).mean("t_segment")
+
+fs = 1.0 / float(np.diff(tt)[0])
+f_ref, p_ref = sps.welch(sig, fs=fs, window="hann", nperseg=n_segments,
+                         noverlap=0, detrend=False)
+err = np.abs(np.asarray(ps_one.values) - p_ref).max() / p_ref.max()
+print(f"one-sided Welch vs scipy.signal.welch: max rel err {err:.2e}")
+assert err < 1e-6, err
+assert np.allclose(ps_one["freq_t"].values, f_ref)
