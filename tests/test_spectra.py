@@ -36,6 +36,34 @@ def test_power_spectrum_periodogram_parity(mode):
     npt.assert_allclose(ps.values, p_scipy, atol=1e-11)
 
 
+@pytest.mark.parametrize("window_type", ["hann", "boxcar"])
+def test_one_sided_welch_scipy_parity(window_type):
+    """Segment-mean of power_spectrum(real_dim=..., chunks_to_segments=True,
+    window_correction=True) == scipy.signal.welch(noverlap=0, detrend=False)
+    — the one-sided Welch convention (real-dim doubling except DC/Nyquist,
+    density scaling) matches scipy's exactly.  Exercises the fused one-sided
+    Welch route end to end against an external oracle (reference one-sided
+    convention: /root/reference/xrft/xrft.py:673-682,742-748)."""
+    fs = 400.0
+    nperseg = 100
+    rng = np.random.RandomState(7)
+    tt = np.arange(1200) / fs
+    x = np.sin(2 * np.pi * 30 * tt) + 0.3 * rng.randn(tt.size)
+    x_da = LabeledArray(x, dims=["t"], coords={"t": tt}).chunk({"t": nperseg})
+
+    ps = power_spectrum(
+        x_da, dim="t", real_dim="t", window=window_type,
+        chunks_to_segments=True, window_correction=True,
+    ).mean("t_segment")
+    f_ref, p_ref = sps.welch(
+        x, fs=fs, window=window_type, nperseg=nperseg, noverlap=0,
+        detrend=False,
+    )
+    npt.assert_allclose(ps["freq_t"].values, f_ref)
+    npt.assert_allclose(np.asarray(ps.values), p_ref, rtol=1e-5,
+                        atol=1e-8 * p_ref.max())
+
+
 @pytest.mark.parametrize("window_type", ["hann", "bartlett", "tukey", "flattop"])
 def test_window_correction_energy_and_amplitude(window_type):
     """Windowed PSD integrates to RMS^2 (density) and recovers peak
