@@ -348,6 +348,32 @@ def test_sharded_segmented_power_spectrum(mesh8):
     assert shard_shape[seg_ax] == (N // SEG) // 8
 
 
+def test_sharded_segmented_overlap_power_spectrum(mesh8):
+    """segment_overlap (overlapping Welch windows, beyond the reference)
+    composes with sharding: strided segments stack on host metadata first
+    and the shard spec moves to the segment axis when the overlapped
+    segment count divides the mesh axis."""
+    N, SEG, HOP = 136, 16, 8
+    nseg = (N - SEG) // HOP + 1  # 16
+    rng = np.random.RandomState(13)
+    da = LabeledArray(rng.randn(N, 24), dims=["x", "y"],
+                      coords={"x": np.arange(N) * 0.5,
+                              "y": np.arange(24) * 1.0}).chunk({"x": SEG})
+    local = xrft_tpu.power_spectrum(da, dim=["x"], window="hann",
+                                    chunks_to_segments=True,
+                                    segment_overlap=SEG - HOP)
+    dist = sharded_power_spectrum(da, mesh8, {"x": "p"}, dim=["x"],
+                                  window="hann", chunks_to_segments=True,
+                                  segment_overlap=SEG - HOP)
+    assert dist.dims == local.dims
+    assert dist.sizes["x_segment"] == nseg
+    npt.assert_allclose(carray.to_numpy(dist.data),
+                        carray.to_numpy(local.data), atol=1e-11)
+    seg_ax = dist.dims.index("x_segment")
+    shard_shape = dist.data.sharding.shard_shape(dist.data.shape)
+    assert shard_shape[seg_ax] == nseg // 8
+
+
 def test_sharded_segmented_unchunked_dim_keeps_pencil(mesh8):
     """A sharded transform dim with NO declared chunks stays on the
     pencil path under chunks_to_segments (its segment axis has size 1)."""

@@ -36,14 +36,17 @@ def test_power_spectrum_periodogram_parity(mode):
     npt.assert_allclose(ps.values, p_scipy, atol=1e-11)
 
 
+@pytest.mark.parametrize("noverlap", [0, 50, 30])
 @pytest.mark.parametrize("window_type", ["hann", "boxcar"])
-def test_one_sided_welch_scipy_parity(window_type):
+def test_one_sided_welch_scipy_parity(window_type, noverlap):
     """Segment-mean of power_spectrum(real_dim=..., chunks_to_segments=True,
-    window_correction=True) == scipy.signal.welch(noverlap=0, detrend=False)
+    window_correction=True) == scipy.signal.welch(noverlap=..., detrend=False)
     — the one-sided Welch convention (real-dim doubling except DC/Nyquist,
-    density scaling) matches scipy's exactly.  Exercises the fused one-sided
-    Welch route end to end against an external oracle (reference one-sided
-    convention: /root/reference/xrft/xrft.py:673-682,742-748)."""
+    density scaling) matches scipy's exactly, including overlapping
+    segments via segment_overlap (beyond the reference: dask chunks cannot
+    overlap).  Exercises the fused one-sided Welch route end to end against
+    an external oracle (reference one-sided convention:
+    /root/reference/xrft/xrft.py:673-682,742-748)."""
     fs = 400.0
     nperseg = 100
     rng = np.random.RandomState(7)
@@ -54,14 +57,107 @@ def test_one_sided_welch_scipy_parity(window_type):
     ps = power_spectrum(
         x_da, dim="t", real_dim="t", window=window_type,
         chunks_to_segments=True, window_correction=True,
+        segment_overlap=noverlap or None,
     ).mean("t_segment")
     f_ref, p_ref = sps.welch(
-        x, fs=fs, window=window_type, nperseg=nperseg, noverlap=0,
+        x, fs=fs, window=window_type, nperseg=nperseg, noverlap=noverlap,
         detrend=False,
     )
     npt.assert_allclose(ps["freq_t"].values, f_ref)
     npt.assert_allclose(np.asarray(ps.values), p_ref, rtol=1e-5,
                         atol=1e-8 * p_ref.max())
+
+
+@pytest.mark.parametrize("noverlap", [0, 50])
+def test_cross_spectrum_csd_scipy_parity(noverlap):
+    """Segment-mean one-sided cross_spectrum == conj(scipy.signal.csd):
+    the reference convention is F(da1)·conj(F(da2))
+    (/root/reference/xrft/xrft.py:825) while scipy computes
+    conj(F(x))·F(y).  Covers the fused conjugated-product Welch route
+    with and without segment_overlap."""
+    fs, nperseg = 400.0, 100
+    rng = np.random.RandomState(7)
+    tt = np.arange(1200) / fs
+    x = np.sin(2 * np.pi * 30 * tt) + 0.3 * rng.randn(tt.size)
+    y = np.cos(2 * np.pi * 30 * tt) + 0.3 * rng.randn(tt.size)
+    xa = LabeledArray(x, dims=["t"], coords={"t": tt}).chunk({"t": nperseg})
+    ya = LabeledArray(y, dims=["t"], coords={"t": tt}).chunk({"t": nperseg})
+
+    cs = cross_spectrum(xa, ya, dim="t", real_dim="t", window="hann",
+                        chunks_to_segments=True, window_correction=True,
+                        segment_overlap=noverlap or None).mean("t_segment")
+    f_ref, p_ref = sps.csd(x, y, fs=fs, window="hann", nperseg=nperseg,
+                           noverlap=noverlap, detrend=False)
+    npt.assert_allclose(cs["freq_t"].values, f_ref)
+    npt.assert_allclose(np.asarray(cs.values), p_ref.conj(), rtol=1e-5,
+                        atol=1e-7 * np.abs(p_ref).max())
+
+
+def test_segment_overlap_fraction_and_errors():
+    """segment_overlap accepts a float fraction of the segment length;
+    rejects use without chunks_to_segments, out-of-range values, and
+    non-transform dims; warns when trailing samples are dropped."""
+    rng = np.random.RandomState(3)
+    x = rng.randn(128)
+    da = LabeledArray(x, dims=["t"], coords={"t": np.arange(128.0)})
+    dac = da.chunk({"t": 32})
+
+    ps_frac = power_spectrum(dac, dim="t", chunks_to_segments=True,
+                             segment_overlap=0.5)
+    ps_samp = power_spectrum(dac, dim="t", chunks_to_segments=True,
+                             segment_overlap=16)
+    assert ps_frac.sizes["t_segment"] == (128 - 32) // 16 + 1 == 7
+    npt.assert_allclose(np.asarray(ps_frac.values),
+                        np.asarray(ps_samp.values))
+
+    with pytest.raises(ValueError, match="requires chunks_to_segments"):
+        power_spectrum(da, dim="t", segment_overlap=16)
+    with pytest.raises(ValueError, match="requires chunks_to_segments"):
+        xrft_tpu.fft(dac, dim="t", segment_overlap=16)
+    with pytest.raises(ValueError, match="must be in"):
+        power_spectrum(dac, dim="t", chunks_to_segments=True,
+                       segment_overlap=32)
+    with pytest.raises(ValueError, match="must be in"):
+        power_spectrum(dac, dim="t", chunks_to_segments=True,
+                       segment_overlap=1.0)
+    with pytest.raises(ValueError, match="non-transform dims"):
+        power_spectrum(dac, dim="t", chunks_to_segments=True,
+                       segment_overlap={"z": 4})
+
+    # 128 - 33 segments of hop 23: drops a tail -> warns, matches manual
+    da33 = da.chunk({"t": 33})
+    with pytest.warns(UserWarning, match="drops the last"):
+        ft = xrft_tpu.fft(da33, dim="t", chunks_to_segments=True,
+                          segment_overlap=10, true_phase=False,
+                          true_amplitude=False, shift=False)
+    nseg = (128 - 33) // 23 + 1
+    assert ft.sizes["t_segment"] == nseg
+    manual = np.stack([np.fft.fft(x[i * 23:i * 23 + 33])
+                       for i in range(nseg)])
+    npt.assert_allclose(np.asarray(ft.values), manual, atol=1e-4)
+
+
+def test_segment_overlap_2d_and_hp():
+    """Overlap composes with a second (non-overlapping) segmented dim and
+    with engine='hp' (quad-limb slice-stack path)."""
+    rng = np.random.RandomState(5)
+    x = rng.randn(4, 64)
+    da = LabeledArray(x, dims=["y", "t"],
+                      coords={"y": np.arange(4.0), "t": np.arange(64.0)})
+    da2 = da.chunk({"y": 2, "t": 16})
+    ps = power_spectrum(da2, dim=["y", "t"], chunks_to_segments=True,
+                        segment_overlap={"t": 8})
+    assert ps.sizes["y_segment"] == 2 and ps.sizes["t_segment"] == 7
+
+    da1 = da.chunk({"t": 16})
+    ps32 = power_spectrum(da1, dim="t", chunks_to_segments=True,
+                          segment_overlap=8, detrend="constant",
+                          window="hann")
+    ps_hp = power_spectrum(da1, dim="t", chunks_to_segments=True,
+                           segment_overlap=8, detrend="constant",
+                           window="hann", engine="hp")
+    npt.assert_allclose(np.asarray(ps_hp.values), np.asarray(ps32.values),
+                        rtol=2e-5, atol=1e-7)
 
 
 @pytest.mark.parametrize("window_type", ["hann", "bartlett", "tukey", "flattop"])

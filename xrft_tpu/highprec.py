@@ -231,6 +231,7 @@ def fft_hp(
     true_amplitude: bool = True,
     prefix: str = "freq_",
     chunks_to_segments: bool = False,
+    segment_overlap=None,
 ) -> LabeledArray:
     """:func:`xrft_tpu.fft` semantics at df64 precision, jit-traceable.
 
@@ -245,9 +246,11 @@ def fft_hp(
     from .transform import _move_to_end, _norm_dim, _stack_segments
 
     dim = _norm_dim(da, dim)
+    if segment_overlap is not None and not chunks_to_segments:
+        raise ValueError("segment_overlap requires chunks_to_segments=True")
     if chunks_to_segments:
         # metadata reshape before the df64 promotion
-        da = _stack_segments(da, dim)
+        da = _stack_segments(da, dim, overlap=segment_overlap)
     rawdims = da.dims
     if real_dim is not None:
         if real_dim not in da.dims:
@@ -396,7 +399,7 @@ def ifft_hp(
     if chunks_to_segments:
         from .transform import _segment_plan
 
-        newdims, newshape, newcoords = _segment_plan(daft, dim)
+        newdims, newshape, newcoords, _ = _segment_plan(daft, dim)
         x4 = tuple(v.reshape(tuple(newshape)) for v in x4)
         daft = LabeledArray(x4[0], dims=newdims, coords=newcoords,
                             attrs=daft.attrs)

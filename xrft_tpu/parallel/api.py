@@ -62,8 +62,9 @@ def _prepare(da: LabeledArray, mesh, dim_shards, kwargs):
         from ..transform import _segment_plan, _stack_segments
 
         dims = _norm_dim_list(da, kwargs.get("dim"))
-        seg_dims, _, _ = _segment_plan(da, dims)
-        da = _stack_segments(da, dims)
+        overlap = kwargs.pop("segment_overlap", None)
+        seg_dims, _, _, _ = _segment_plan(da, dims, overlap=overlap)
+        da = _stack_segments(da, dims, overlap=overlap)
         # pin the transform dims: downstream must not re-stack or treat
         # the new segment axes as transform dims
         kwargs["dim"] = dims

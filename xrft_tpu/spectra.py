@@ -90,12 +90,18 @@ def _maybe_stack_segments(das, dim, kwargs):
     per-segment automatically.  Returns (stacked arrays, pinned dim list,
     kwargs without the flag)."""
     if not kwargs.get("chunks_to_segments"):
+        if kwargs.get("segment_overlap") is not None:
+            raise ValueError(
+                "segment_overlap requires chunks_to_segments=True"
+            )
         return das, dim, kwargs
     from .transform import _stack_segments
 
     dim = _norm_dim_list(das[0], dim)  # pin BEFORE the segment dims exist
-    das = tuple(_stack_segments(da, dim) for da in das)
-    kwargs = {k: v for k, v in kwargs.items() if k != "chunks_to_segments"}
+    overlap = kwargs.get("segment_overlap")
+    das = tuple(_stack_segments(da, dim, overlap=overlap) for da in das)
+    kwargs = {k: v for k, v in kwargs.items()
+              if k not in ("chunks_to_segments", "segment_overlap")}
     return das, dim, kwargs
 
 

@@ -108,29 +108,66 @@ def _degrade_quad(da: LabeledArray) -> LabeledArray:
     return da
 
 
-def _stack_segments(da: LabeledArray, dim, suffix="_segment") -> LabeledArray:
+def _stack_segments(da: LabeledArray, dim, suffix="_segment",
+                    overlap=None) -> LabeledArray:
     """Reshape each transform dim into (<dim>_segment, <dim>) according to
     the array's declared chunk lengths (Welch/Bartlett segmenting; the TPU
     analogue of the reference's dask-chunk reshape ``_stack_chunks``,
-    ``/root/reference/xrft/xrft.py:106-136``)."""
-    newdims, newshape, newcoords = _segment_plan(da, dim, suffix)
-    data = carray.reshape(da.data, tuple(newshape)) if carray.is_pair(da.data) \
-        else da.data.reshape(tuple(newshape))
+    ``/root/reference/xrft/xrft.py:106-136``).
+
+    ``overlap`` (beyond the reference, whose dask chunks cannot overlap):
+    per-dim overlap in samples (int) or as a fraction of the segment
+    length (float in [0, 1)); segments become static strided windows —
+    a stack of XLA slices, no gather — following scipy.signal.welch's
+    ``noverlap`` convention (trailing samples that do not fill a final
+    segment are dropped)."""
+    newdims, newshape, newcoords, plans = _segment_plan(da, dim, suffix,
+                                                        overlap)
+    if all(hop == seglen for _, _, seglen, hop, _ in plans):
+        data = carray.reshape(da.data, tuple(newshape)) \
+            if carray.is_pair(da.data) else da.data.reshape(tuple(newshape))
+    else:
+        data = da.data
+        for ax, nseg, seglen, hop, _n in sorted(plans, reverse=True):
+            data = _slice_stack_axis(data, ax, nseg, seglen, hop)
     return LabeledArray(data, dims=newdims, coords=newcoords, attrs=da.attrs)
 
 
-def _segment_plan(da: LabeledArray, dim, suffix="_segment"):
+def _slice_stack_axis(data, ax, nseg, seglen, hop):
+    """(…, n, …) → (…, nseg, seglen, …) strided windows along axis ``ax``
+    as a stack of static slices (bandwidth-bound copies; never a gather —
+    gathers run far off bandwidth on TPU)."""
+    import jax.numpy as jnp
+
+    def one(v):
+        xp = np if isinstance(v, np.ndarray) else jnp
+        segs = [v[(slice(None),) * ax + (slice(i * hop, i * hop + seglen),)]
+                for i in range(nseg)]
+        return xp.stack(segs, axis=ax)
+
+    return carray._map(data, one)
+
+
+def _segment_plan(da: LabeledArray, dim, suffix="_segment", overlap=None):
     """Metadata for :func:`_stack_segments` — (newdims, newshape,
-    newcoords) — shared with the quad-plane (engine='hp') path, which
-    reshapes its four limb arrays itself."""
+    newcoords, plans) — shared with the quad-plane (engine='hp') path and
+    the sharded estimators; ``plans`` lists (axis, nseg, seglen, hop, n)
+    per transform dim."""
     chunks = getattr(da, "_chunks", None) or da.attrs.get("_chunks")
     if chunks is None:
         raise ValueError(
             "chunks_to_segments=True requires declared chunks: call "
             "da.chunk({dim: seglen}) first."
         )
-    newdims, newshape, newcoords = [], [], {}
-    for d in da.dims:
+    ov = dict(overlap) if isinstance(overlap, dict) else \
+        ({d: overlap for d in dim} if overlap else {})
+    bad = set(ov) - set(dim)
+    if bad:
+        raise ValueError(
+            f"segment_overlap given for non-transform dims {sorted(bad)}"
+        )
+    newdims, newshape, newcoords, plans = [], [], {}, []
+    for ax, d in enumerate(da.dims):
         n = da.sizes[d]
         if d in dim:
             # a transform dim with no declared chunk length is one
@@ -138,20 +175,44 @@ def _segment_plan(da: LabeledArray, dim, suffix="_segment"):
             # reference's dask semantics (an unchunked dask dim has one
             # chunk spanning the axis, /root/reference/xrft/xrft.py:115-119)
             chunklen = chunks.get(d, n)
-            if n % chunklen != 0:
-                raise ValueError("Chunk lengths need to be the same.")
-            nseg = n // chunklen
+            o = ov.get(d, 0) or 0
+            if isinstance(o, float):
+                if not 0.0 <= o < 1.0:
+                    raise ValueError(
+                        f"fractional segment_overlap for dim {d!r} must be "
+                        f"in [0, 1), got {o}"
+                    )
+                o = int(round(o * chunklen))
+            if not 0 <= o < chunklen:
+                raise ValueError(
+                    f"segment_overlap for dim {d!r} must be in "
+                    f"[0, seglen={chunklen}), got {o}"
+                )
+            hop = chunklen - o
+            if o == 0:
+                if n % chunklen != 0:
+                    raise ValueError("Chunk lengths need to be the same.")
+                nseg = n // chunklen
+            else:
+                nseg = (n - chunklen) // hop + 1
+                dropped = n - ((nseg - 1) * hop + chunklen)
+                if dropped:
+                    warnings.warn(
+                        f"segment_overlap drops the last {dropped} samples "
+                        f"of dim {d!r} (scipy.signal.welch convention)"
+                    )
             newdims += [d + suffix, d]
             newshape += [nseg, chunklen]
             newcoords[d + suffix] = np.arange(nseg)
             coord_vals = _dim_coord(da, d).values
-            newcoords[d] = coord_vals.reshape(nseg, chunklen)[0]
+            newcoords[d] = coord_vals[:chunklen]
+            plans.append((ax, nseg, chunklen, hop, n))
         else:
             newdims.append(d)
             newshape.append(n)
             if d in da.coords:
                 newcoords[d] = da.coords[d].values
-    return newdims, newshape, newcoords
+    return newdims, newshape, newcoords, plans
 
 
 def fft(
@@ -165,6 +226,7 @@ def fft(
     true_phase: bool = True,
     true_amplitude: bool = True,
     chunks_to_segments: bool = False,
+    segment_overlap=None,
     prefix: str = "freq_",
     real: str | None = None,
     engine: str | None = None,
@@ -189,9 +251,16 @@ def fft(
     - ``true_amplitude=True`` multiplies by the product of grid spacings so
       amplitudes match the continuous-transform convention.
     - ``chunks_to_segments=True`` reshapes declared chunks into
-      ``<dim>_segment`` dims (Welch segmenting).
+      ``<dim>_segment`` dims (Welch segmenting).  ``segment_overlap``
+      (int samples, float fraction of the segment length, or per-dim
+      dict) makes the segments overlap — scipy.signal.welch's
+      ``noverlap``, which the reference's dask-chunk model cannot
+      express.
     """
     dim = _norm_dim(da, dim)
+
+    if segment_overlap is not None and not chunks_to_segments:
+        raise ValueError("segment_overlap requires chunks_to_segments=True")
 
     if real is not None:
         real_dim = real
@@ -206,7 +275,8 @@ def fft(
 
         return fft_hp(da, spacing_tol, dim, real_dim, shift, detrend,
                       window, true_phase, true_amplitude, prefix,
-                      chunks_to_segments=chunks_to_segments)
+                      chunks_to_segments=chunks_to_segments,
+                      segment_overlap=segment_overlap)
 
     da = _degrade_quad(da)
 
@@ -221,7 +291,7 @@ def fft(
     ce.check_valid_fft_coords(da, dim)
 
     if chunks_to_segments:
-        da = _stack_segments(da, dim)
+        da = _stack_segments(da, dim, overlap=segment_overlap)
 
     rawdims = da.dims  # includes segment dims, if any
 
