@@ -93,6 +93,47 @@ def test_cross_spectrum_csd_scipy_parity(noverlap):
                         atol=1e-7 * np.abs(p_ref).max())
 
 
+@pytest.mark.parametrize("noverlap", [0, 50])
+def test_coherence_scipy_parity(noverlap):
+    """coherence(...) == scipy.signal.coherence (Welch-averaged
+    magnitude-squared coherence; beyond the reference).  A shared 30 Hz
+    component in independent noise: coherence near 1 at 30 Hz, small
+    elsewhere."""
+    fs, nperseg = 400.0, 100
+    rng = np.random.RandomState(9)
+    tt = np.arange(2000) / fs
+    s = np.sin(2 * np.pi * 30 * tt)
+    x = s + 0.5 * rng.randn(tt.size)
+    y = 0.7 * s + 0.5 * rng.randn(tt.size)
+    xa = LabeledArray(x, dims=["t"], coords={"t": tt},
+                      name="x").chunk({"t": nperseg})
+    ya = LabeledArray(y, dims=["t"], coords={"t": tt},
+                      name="y").chunk({"t": nperseg})
+
+    coh = xrft_tpu.coherence(xa, ya, dim="t", real_dim="t", window="hann",
+                             chunks_to_segments=True,
+                             segment_overlap=noverlap or None)
+    f_ref, c_ref = sps.coherence(x, y, fs=fs, window="hann",
+                                 nperseg=nperseg, noverlap=noverlap,
+                                 detrend=False)
+    assert coh.name == "x_y_coherence"
+    npt.assert_allclose(coh["freq_t"].values, f_ref)
+    npt.assert_allclose(np.asarray(coh.values), c_ref, rtol=1e-4, atol=1e-6)
+    v = np.asarray(coh.values)
+    assert v.min() >= 0.0 and v.max() <= 1.0 + 1e-9
+    assert v[np.argmin(np.abs(f_ref - 30.0))] > 0.9
+
+
+def test_coherence_unsegmented_warns_identically_one():
+    rng = np.random.RandomState(2)
+    tt = np.arange(64.0)
+    xa = LabeledArray(rng.randn(64), dims=["t"], coords={"t": tt})
+    ya = LabeledArray(rng.randn(64), dims=["t"], coords={"t": tt})
+    with pytest.warns(UserWarning, match="identically 1"):
+        coh = xrft_tpu.coherence(xa, ya, dim="t")
+    npt.assert_allclose(np.asarray(coh.values), 1.0, rtol=1e-5)
+
+
 def test_segment_overlap_fraction_and_errors():
     """segment_overlap accepts a float fraction of the segment length;
     rejects use without chunks_to_segments, out-of-range values, and

@@ -11,7 +11,9 @@ and `jax.sharding` pencil decomposition in place of dask chunking.
 from .config import complex_mode, config, fft_engine, set_fft_engine  # noqa: F401
 from .labeled import Coord, LabeledArray  # noqa: F401
 from .transform import dft, fft, idft, ifft  # noqa: F401
-from .spectra import cross_phase, cross_spectrum, power_spectrum  # noqa: F401
+from .spectra import (  # noqa: F401
+    coherence, cross_phase, cross_spectrum, power_spectrum,
+)
 from .isotropic import (  # noqa: F401
     fit_loglog,
     isotropic_cross_spectrum,
@@ -30,7 +32,7 @@ from .xarray_compat import from_xarray, to_xarray, xr_boundary  # noqa: F401
 
 for _name in (
     "fft", "ifft", "dft", "idft", "power_spectrum", "cross_spectrum",
-    "cross_phase", "isotropize", "isotropic_power_spectrum",
+    "cross_phase", "coherence", "isotropize", "isotropic_power_spectrum",
     "isotropic_cross_spectrum", "pad", "unpad", "detrend", "fft64",
     "ifft64",
 ):

@@ -672,3 +672,42 @@ def cross_phase(da1, da2, dim=None, true_phase=True, **kwargs) -> LabeledArray:
     if da1.name and da2.name:
         cp.name = f"{da1.name}_{da2.name}_phase"
     return cp
+
+
+def coherence(da1, da2, dim=None, real_dim=None, window="hann",
+              true_phase=False, **kwargs) -> LabeledArray:
+    """Magnitude-squared coherence ``|<Pxy>|^2 / (<Pxx><Pyy>)`` — the
+    Welch-averaged scipy.signal.coherence estimate (beyond the reference,
+    which stops at :func:`cross_phase`).
+
+    The cross/auto spectral densities are estimated with identical
+    window/segment settings and averaged over every ``<dim>_segment``
+    axis before the ratio, so density scalings and window corrections
+    cancel and the result is a dimensionless field in [0, 1].  With no
+    segment averaging the estimate is identically 1 (a warning is
+    emitted) — pass ``chunks_to_segments=True`` (and optionally
+    ``segment_overlap=...``), the analogue of scipy's nperseg/noverlap.
+    ``true_phase`` defaults False: equal-coordinate phase factors cancel
+    inside ``|<Pxy>|^2`` anyway, so the phase work is skipped.
+    """
+    est = dict(dim=dim, real_dim=real_dim, window=window, **kwargs)
+    pxx = power_spectrum(da1, **est)
+    pyy = power_spectrum(da2, **est)
+    pxy = cross_spectrum(da1, da2, true_phase=true_phase, **est)
+
+    segdims = [d for d in pxy.dims if d.endswith("_segment")]
+    if not segdims:
+        warnings.warn(
+            "coherence without segment averaging is identically 1; pass "
+            "chunks_to_segments=True (and optionally segment_overlap=...) "
+            "to average over Welch segments"
+        )
+    for d in segdims:
+        pxy, pxx, pyy = pxy.mean(d), pxx.mean(d), pyy.mean(d)
+    num = carray.abs2(pxy.data)
+    coh = pxx.copy(data=num / (pxx.data * pyy.data))
+    if da1.name and da2.name:
+        coh.name = f"{da1.name}_{da2.name}_coherence"
+    else:
+        coh.name = None
+    return coh

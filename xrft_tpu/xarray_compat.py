@@ -108,9 +108,9 @@ class XrftAccessor:
 
     _METHODS = (
         "fft", "ifft", "dft", "idft", "power_spectrum", "cross_spectrum",
-        "cross_phase", "isotropize", "isotropic_power_spectrum",
-        "isotropic_cross_spectrum", "pad", "unpad", "detrend",
-        "fft64", "ifft64",
+        "cross_phase", "coherence", "isotropize",
+        "isotropic_power_spectrum", "isotropic_cross_spectrum",
+        "pad", "unpad", "detrend", "fft64", "ifft64",
     )
 
     def __init__(self, da):
