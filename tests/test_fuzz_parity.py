@@ -319,6 +319,159 @@ def test_estimator_fuzz_vs_numpy_reference(case):
 
 
 # ---------------------------------------------------------------------------
+# Segmented-estimator fuzz: chunks_to_segments (+ random segment_overlap)
+# against a per-segment numpy loop — pins the Welch stacking machinery
+# (strided slice-stack, first-window coords) across flag combinations
+# ---------------------------------------------------------------------------
+
+SEG_CASES = []
+_srng = np.random.RandomState(17)
+for i in range(10):
+    ndim = _srng.randint(2, 4)
+    shape = list(_srng.choice([8, 12, 16, 20], size=ndim))
+    n_t = _srng.randint(1, ndim)
+    tdims = sorted(_srng.choice(ndim, size=max(n_t, 1),
+                                replace=False).tolist())
+    seg_i = tdims[_srng.randint(len(tdims))]
+    seglen = int(_srng.choice([12, 16, 20]))
+    overlap = int(_srng.choice([0, seglen // 4, seglen // 2]))
+    # overlap == 0 keeps the reference's exact-divisibility contract;
+    # overlapped cases may leave a dropped tail (scipy convention)
+    shape[seg_i] = seglen * int(_srng.randint(3, 5)) + (
+        int(_srng.randint(0, seglen - overlap)) if overlap else 0)
+    SEG_CASES.append(dict(
+        seed=400 + i,
+        shape=tuple(shape),
+        tdims=tdims,
+        seg_i=seg_i,
+        seglen=seglen,
+        overlap=overlap,
+        cross=bool(_srng.rand() < 0.4),
+        one_sided=bool(_srng.rand() < 0.5),
+        window=[None, "hann"][_srng.randint(2)],
+        detrend=[None, "constant", "linear"][_srng.randint(3)],
+        scaling=["density", "spectrum"][_srng.randint(2)],
+        engine=[None, "matmul"][_srng.randint(2)],
+    ))
+
+
+@pytest.mark.parametrize("case", SEG_CASES, ids=lambda c: f"seg{c['seed']}")
+def test_segmented_estimator_fuzz_vs_per_segment_loop(case):
+    import warnings
+
+    import xrft_tpu
+    from xrft_tpu.ops import carray
+
+    rs = np.random.RandomState(case["seed"])
+    shape = case["shape"]
+    ndim = len(shape)
+    dims = [f"d{i}" for i in range(ndim)]
+    coords = {dims[i]: rs.randn() + (0.1 + rs.rand()) * np.arange(n)
+              for i, n in enumerate(shape)}
+    vals1, vals2 = rs.randn(*shape), rs.randn(*shape)
+    seg_i, L, o = case["seg_i"], case["seglen"], case["overlap"]
+    hop = L - o
+    da1 = LabeledArray(vals1, dims=dims,
+                       coords=coords).chunk({dims[seg_i]: L})
+    da2 = LabeledArray(vals2, dims=dims,
+                       coords=coords).chunk({dims[seg_i]: L})
+
+    tnames = [dims[i] for i in case["tdims"]]
+    real_i = case["tdims"][-1] if case["one_sided"] else None
+    real_dim = dims[real_i] if real_i is not None else None
+    kw = dict(dim=tnames, window=case["window"], detrend=case["detrend"],
+              scaling=case["scaling"], engine=case["engine"], shift=False,
+              chunks_to_segments=True, segment_overlap=o or None)
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        if case["cross"]:
+            got = xrft_tpu.cross_spectrum(da1, da2, real_dim=real_dim,
+                                          true_phase=False, **kw)
+            gv = carray.to_numpy(got.data)
+        else:
+            got = xrft_tpu.power_spectrum(da1, real_dim=real_dim, **kw)
+            gv = np.asarray(got.values)
+    # other (unchunked) transform dims gain size-1 segment axes (reference
+    # semantics); squeeze them out for the per-segment model comparison
+    drop = tuple(got.dims.index(d + "_segment") for d in tnames
+                 if d != dims[seg_i] and (d + "_segment") in got.dims)
+    if drop:
+        gv = np.squeeze(gv, axis=drop)
+    outdims = [dd for dd in got.dims
+               if dd == dims[seg_i] + "_segment"
+               or not dd.endswith("_segment")]
+    seg_ax = outdims.index(dims[seg_i] + "_segment")
+    nseg = (shape[seg_i] - L) // hop + 1
+    assert gv.shape[seg_ax] == nseg
+
+    # per-segment numpy loop: slice the segmented axis, run the unsegmented
+    # estimator model on each window with the FIRST window's coordinates
+    # (the stacked coord convention), stack along the segment axis
+    seg_coords = dict(coords)
+    seg_coords[dims[seg_i]] = coords[dims[seg_i]][:L]
+
+    def est_one(v1, v2):
+        coords_list = [seg_coords[dims[i]] for i in case["tdims"]]
+        if real_dim is not None:
+            order = [i for i in range(ndim) if i != real_i] + [real_i]
+            axes_ref = [order.index(i) for i in case["tdims"]]
+            F1 = numpy_reference_fft(
+                np.transpose(v1, order),
+                [seg_coords[dims[i]] for i in case["tdims"][:-1]]
+                + [seg_coords[dims[real_i]]],
+                axes_ref, real_axis=axes_ref[-1], shift=False,
+                detrend=case["detrend"], window=case["window"],
+                true_phase=False, true_amplitude=True)
+            F1 = np.transpose(F1, np.argsort(order))
+            if v2 is not None:
+                F2 = numpy_reference_fft(
+                    np.transpose(v2, order),
+                    [seg_coords[dims[i]] for i in case["tdims"][:-1]]
+                    + [seg_coords[dims[real_i]]],
+                    axes_ref, real_axis=axes_ref[-1], shift=False,
+                    detrend=case["detrend"], window=case["window"],
+                    true_phase=False, true_amplitude=True)
+                F2 = np.transpose(F2, np.argsort(order))
+        else:
+            F1 = numpy_reference_fft(v1, coords_list, list(case["tdims"]),
+                                     None, False, case["detrend"],
+                                     case["window"], False, True)
+            if v2 is not None:
+                F2 = numpy_reference_fft(v2, coords_list,
+                                         list(case["tdims"]), None, False,
+                                         case["detrend"], case["window"],
+                                         False, True)
+        ref = F1 * np.conj(F2) if v2 is not None else np.abs(F1) ** 2
+        if real_dim is not None:
+            n = L if real_i == seg_i else shape[real_i]
+            dbl = np.full(n // 2 + 1, 2.0)
+            dbl[0] = 1.0
+            if n % 2 == 0:
+                dbl[-1] = 1.0
+            shp = [1] * ndim
+            shp[real_i] = dbl.size
+            ref = ref * dbl.reshape(shp)
+        fs = 1.0
+        for i in case["tdims"]:
+            n = L if i == seg_i else shape[i]
+            fs *= 1.0 / (n * abs(np.diff(coords[dims[i]])[0]))
+        return ref * (fs if case["scaling"] == "density" else fs**2)
+
+    refs = []
+    for s in range(nseg):
+        sl = [slice(None)] * ndim
+        sl[seg_i] = slice(s * hop, s * hop + L)
+        refs.append(est_one(vals1[tuple(sl)],
+                            vals2[tuple(sl)] if case["cross"] else None))
+    ref = np.stack(refs, axis=seg_i)  # segment axis sits where seg dim was
+    # library output dims: segment axis directly before the within-seg dim
+    assert seg_ax == outdims.index("freq_" + dims[seg_i]) - 1
+
+    scale = max(np.abs(ref).max(), 1e-12)
+    npt.assert_allclose(gv / scale, ref / scale, atol=1e-10)
+
+
+# ---------------------------------------------------------------------------
 # Inverse roundtrip fuzz: ifft(fft(s)) == s across random shapes (incl.
 # n % 4 == 2 real axes), engines, real/complex kinds, shift flags and
 # natural vs shifted freq orders — pins the absorbed-shift inverse paths
