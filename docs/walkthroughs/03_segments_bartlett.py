@@ -88,6 +88,53 @@ def main():
                         "freq_x")
 
     # %% [markdown]
+    # ## Overlapping segments and coherence (beyond the reference)
+    #
+    # dask chunks cannot overlap, so the reference stops at
+    # non-overlapping (Bartlett) segments.  Here segments are static
+    # strided windows: `segment_overlap` is scipy.signal.welch's
+    # `noverlap`, and the Welch-averaged magnitude-squared `coherence`
+    # estimator comes with it.
+
+    # %%
+    import scipy.signal as sps
+
+    fs = 8.0  # time coord spacing 1/8
+    tt = np.arange(n) / fs
+    t1d = LabeledArray(
+        np.asarray(da.values)[:, 0, 0], dims=["time"],
+        coords={"time": tt},
+    ).chunk({"time": 32})
+    ps_ov = xrft_tpu.power_spectrum(
+        t1d, dim="time", real_dim="time", window="hann",
+        chunks_to_segments=True, segment_overlap=16,
+        window_correction=True,
+    ).mean("time_segment")
+    f_ref, p_ref = sps.welch(np.asarray(t1d.values), fs=fs, window="hann",
+                             nperseg=32, noverlap=16, detrend=False)
+    npt.assert_allclose(np.asarray(ps_ov["freq_time"].values), f_ref)
+    npt.assert_allclose(np.asarray(ps_ov.values), p_ref, rtol=1e-4,
+                        atol=1e-6 * p_ref.max())
+
+    # %%
+    rng2 = np.random.RandomState(0)
+    shared = np.sin(2 * np.pi * 2.0 * tt)
+    xa = LabeledArray(shared + 0.5 * rng2.randn(n), dims=["time"],
+                      coords={"time": tt}).chunk({"time": 32})
+    ya = LabeledArray(0.5 * shared + 0.5 * rng2.randn(n), dims=["time"],
+                      coords={"time": tt}).chunk({"time": 32})
+    coh = xrft_tpu.coherence(xa, ya, dim="time", real_dim="time",
+                             chunks_to_segments=True, segment_overlap=16)
+    fc, c_ref = sps.coherence(np.asarray(xa.values), np.asarray(ya.values),
+                              fs=fs, window="hann", nperseg=32,
+                              noverlap=16, detrend=False)
+    npt.assert_allclose(np.asarray(coh.values), c_ref, rtol=1e-4,
+                        atol=1e-6)
+    # the shared 2 Hz line is coherent; the rest is noise
+    v = np.asarray(coh.values)
+    assert v[np.argmin(np.abs(fc - 2.0))] > 0.7
+
+    # %% [markdown]
     # Inverse transforms segment too (each freq chunk is an independent
     # inverse transform) — a capability pinned by
     # tests/test_transform.py::test_ifft_chunks_to_segments.

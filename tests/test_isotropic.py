@@ -258,3 +258,71 @@ def test_isotropic_ps_pallas_binning_end_to_end():
         config.binned_sum_impl = old
     npt.assert_allclose(np.asarray(got.values), np.asarray(ref.values),
                         rtol=2e-6, atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# 3-D shell averaging (beyond the reference, which is 2-D only)
+# ---------------------------------------------------------------------------
+
+def test_isotropize_3d_conservation_and_loop_parity():
+    """3-D isotropize: spherical-shell sums conserve the total and match
+    a numpy bincount loop over the same static bin codes."""
+    from xrft_tpu.ops.binning import cut_codes
+
+    N = 24
+    rng = np.random.RandomState(4)
+    da = LabeledArray(
+        rng.randn(2, N, N, N),
+        dims=["b", "z", "y", "x"],
+        coords={"b": np.arange(2), "z": np.arange(N) * 1.0,
+                "y": np.arange(N) * 1.0, "x": np.arange(N) * 1.0},
+    )
+    with pytest.warns(FutureWarning, match="Nyquist"):
+        iso = isotropic_power_spectrum(da, dim=["z", "y", "x"],
+                                       truncate=False)
+    assert iso.dims == ("b", "freq_r")
+
+    ps = power_spectrum(da, dim=["z", "y", "x"])
+    npt.assert_allclose(
+        np.asarray(iso.values).sum(axis=-1),
+        np.asarray(ps.values).sum(axis=(-3, -2, -1)),
+        rtol=1e-6,
+    )
+
+    # loop parity: flatten the reversed-fftdim grid exactly as the library
+    kz = ps.coords["freq_z"].values
+    ky = ps.coords["freq_y"].values
+    kx = ps.coords["freq_x"].values
+    gx, gy, gz = np.meshgrid(kx, ky, kz, indexing="ij")
+    freq_r = np.sqrt(gx**2 + gy**2 + gz**2)
+    nbins = int(N / 4)
+    codes, nbins_eff = cut_codes(freq_r, nbins)
+    v = np.asarray(ps.values).transpose(0, 3, 2, 1).reshape(2, -1)
+    cflat = codes.reshape(-1)
+    ref = np.stack([
+        np.bincount(cflat[cflat >= 0], weights=row[cflat >= 0],
+                    minlength=nbins_eff)
+        for row in v
+    ])
+    npt.assert_allclose(np.asarray(iso.values), ref, rtol=1e-6)
+
+    # shell radius grows monotonically where defined
+    kr = iso["freq_r"].values
+    finite = kr[np.isfinite(kr)]
+    assert (np.diff(finite) > 0).all()
+
+
+def test_isotropize_3d_truncate_marks_beyond_nyquist():
+    N = 16
+    rng = np.random.RandomState(6)
+    da = LabeledArray(
+        rng.randn(N, N, N), dims=["z", "y", "x"],
+        coords={"z": np.arange(N) * 2.0, "y": np.arange(N) * 1.0,
+                "x": np.arange(N) * 1.0},
+    )
+    iso = isotropic_power_spectrum(da, dim=["z", "y", "x"], truncate=True)
+    kr = iso["freq_r"].values
+    # the coarse z axis has the smallest Nyquist: radii beyond it are NaN
+    kmax = 0.5 / 2.0
+    assert np.isnan(kr[-1])
+    assert np.nanmax(kr) <= kmax + 1e-12

@@ -29,35 +29,37 @@ __all__ = [
 
 def isotropize(ps: LabeledArray, fftdim, nfactor=4, truncate=True,
                complx=False) -> LabeledArray:
-    """Isotropize a 2-D (cross) spectrum by an azimuthal sum over radial
-    wavenumber bins.
+    """Isotropize an N-D (cross) spectrum by an azimuthal (2-D) or
+    spherical-shell (3-D+) sum over radial wavenumber bins.
 
     The radial coordinate of each bin is the per-bin *mean* of
-    ``freq_r = sqrt(k^2 + l^2)``; the value is the per-bin *sum*.  With
-    ``truncate=True``, the radial coordinate is set to NaN for bins beyond
-    the smaller axis Nyquist and positions whose *data* contain NaN are
-    dropped — matching the reference exactly
+    ``freq_r = sqrt(k^2 + l^2 + ...)``; the value is the per-bin *sum*.
+    With ``truncate=True``, the radial coordinate is set to NaN for bins
+    beyond the smallest axis Nyquist and positions whose *data* contain NaN
+    are dropped — matching the reference exactly
     (``/root/reference/xrft/xrft.py:983-1010``: ``kr.where(kr <= kmax)``
     masks only the coordinate, and xarray's ``dropna`` inspects data values,
     which the fill_value=0 aggregation never leaves NaN; its conservation
     test pins this).  Otherwise a super-Nyquist warning is emitted.
-    ``complx`` keeps complex values (cross spectra).
+    ``complx`` keeps complex values (cross spectra).  The reference is
+    2-D-only; three and more dims (shell averaging, the standard 3-D
+    turbulence-spectrum reduction) are beyond-reference.
     """
-    k = ps.coords[fftdim[1]].values
-    l = ps.coords[fftdim[0]].values
-
-    N = [k.size, l.size]
-    nbins = int(min(N) / nfactor)
-    # broadcast order (fftdim[1], fftdim[0]) matching the reference's
+    # broadcast order reversed(fftdim) matches the reference's 2-D
     # k**2 + l**2 xarray broadcast; ps core dims are flattened in the same
     # order below.
-    freq_r = np.sqrt(k[:, None] ** 2 + l[None, :] ** 2)
+    rev = list(reversed(fftdim))
+    axes_coords = [np.asarray(ps.coords[d].values) for d in rev]
+    N = [c.size for c in axes_coords]
+    nbins = int(min(N) / nfactor)
+    grids = np.meshgrid(*axes_coords, indexing="ij")
+    freq_r = np.sqrt(sum(g**2 for g in grids))
 
     codes, nbins_eff = cut_codes(freq_r, nbins)
     kr = binned_mean_np(freq_r, codes, nbins_eff)
 
     if truncate:
-        kmax = min(k.max(), l.max())
+        kmax = min(c.max() for c in axes_coords)
         kr = np.where(kr <= kmax, kr, np.nan)
     else:
         warnings.warn(
@@ -66,10 +68,10 @@ def isotropize(ps: LabeledArray, fftdim, nfactor=4, truncate=True,
             FutureWarning,
         )
 
-    # move the two fft dims to the end in (fftdim[1], fftdim[0]) order and
-    # flatten them for the binned matmul
+    # move the fft dims to the end in reversed(fftdim) order and flatten
+    # them for the binned matmul
     other = [d for d in ps.dims if d not in fftdim]
-    ordered = ps.transpose(*(other + [fftdim[1], fftdim[0]]))
+    ordered = ps.transpose(*(other + rev))
     from .ops import carray
 
     data = ordered.data
@@ -77,7 +79,8 @@ def isotropize(ps: LabeledArray, fftdim, nfactor=4, truncate=True,
         from .labeled import _asjax
 
         data = _asjax(data)
-    flat_shape = tuple(ordered.shape[:-2]) + (N[0] * N[1],)
+    nf = len(fftdim)
+    flat_shape = tuple(ordered.shape[:-nf]) + (int(np.prod(N)),)
     data = carray.reshape(data, flat_shape)
     if isinstance(data, (carray.DF64, carray.CDF64)):
         # high-precision path: per-bin compensated sums (engine='hp')
@@ -126,14 +129,15 @@ def isotropic_power_spectrum(
     **kwargs,
 ) -> LabeledArray:
     """Azimuthally averaged power spectrum of 2-D data
-    (reference ``/root/reference/xrft/xrft.py:1013-1095``)."""
+    (reference ``/root/reference/xrft/xrft.py:1013-1095``); 3-D+ input
+    gets spherical-shell averaging (beyond the reference, which errors)."""
     if "density" in kwargs:
         density = kwargs.pop("density")
         scaling = "density" if density else "false_density"
 
     if dim is None:
         dim = list(da.dims)
-    if len(dim) != 2:
+    if len(dim) < 2:
         raise ValueError("The Fourier transform should be two dimensional")
 
     ps = power_spectrum(
@@ -167,7 +171,8 @@ def isotropic_cross_spectrum(
     **kwargs,
 ) -> LabeledArray:
     """Azimuthally averaged cross spectrum of 2-D data
-    (reference ``/root/reference/xrft/xrft.py:1098-1187``)."""
+    (reference ``/root/reference/xrft/xrft.py:1098-1187``); 3-D+ input
+    gets spherical-shell averaging (beyond the reference, which errors)."""
     if "density" in kwargs:
         density = kwargs.pop("density")
         scaling = "density" if density else "false_density"
@@ -177,7 +182,7 @@ def isotropic_cross_spectrum(
         dim2 = list(da2.dims)
         if dim != dim2:
             raise ValueError("The two datasets have different dimensions")
-    if len(dim) != 2:
+    if len(dim) < 2:
         raise ValueError("The Fourier transform should be two dimensional")
 
     cs = cross_spectrum(
