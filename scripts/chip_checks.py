@@ -118,6 +118,49 @@ def main():
                 / refs.max())
     check("welch segmented PSD rel err", err_w, 1e-5)
 
+    # 4a2. overlapping Welch segments (segment_overlap; strided slice-stack
+    # HLOs) vs scipy.signal.welch, and coherence vs scipy.signal.coherence —
+    # the new estimator surfaces compiled on the real chip
+    pso = xrft_tpu.power_spectrum(
+        daw, dim=["x"], real_dim="x", window="hann",
+        chunks_to_segments=True, segment_overlap=S // 2,
+        window_correction=True).mean("x_segment")
+    f_o, p_o = sps.welch(v, fs=2.0, window="hann", nperseg=S,
+                         noverlap=S // 2, detrend=False, axis=-1)
+    check("overlap Welch PSD vs scipy rel err",
+          np.abs(np.asarray(pso.values) - p_o).max() / p_o.max(), 1e-5)
+
+    ca = LabeledArray(v[0].astype(np.float32), dims=["x"],
+                      coords={"x": np.arange(N) * 0.5}).chunk({"x": S})
+    cb = LabeledArray((0.5 * v[0] + 0.5 * v[1]).astype(np.float32),
+                      dims=["x"], coords={"x": np.arange(N) * 0.5},
+                      ).chunk({"x": S})
+    coh = xrft_tpu.coherence(ca, cb, dim="x", real_dim="x",
+                             chunks_to_segments=True,
+                             segment_overlap=S // 2)
+    _, c_o = sps.coherence(np.asarray(ca.values), np.asarray(cb.values),
+                           fs=2.0, window="hann", nperseg=S,
+                           noverlap=S // 2, detrend=False)
+    check("coherence vs scipy abs err",
+          np.abs(np.asarray(coh.values) - c_o).max(), 1e-4)
+
+    # 4a3. 3-D spherical-shell isotropize conservation on chip
+    N3d = 64
+    d3d = LabeledArray(rng.randn(N3d, N3d, N3d).astype(np.float32),
+                       dims=["z", "y", "x"],
+                       coords={d: np.arange(N3d) * 1.0
+                               for d in ("z", "y", "x")})
+    import warnings as _w
+    with _w.catch_warnings():
+        _w.simplefilter("ignore")
+        iso3d = xrft_tpu.isotropic_power_spectrum(
+            d3d, dim=["z", "y", "x"], truncate=False)
+    ps3d = xrft_tpu.power_spectrum(d3d, dim=["z", "y", "x"])
+    t_iso = float(np.asarray(iso3d.values).sum())
+    t_ps = float(np.asarray(ps3d.values).sum())
+    check("3-D shell isotropize conservation rel err",
+          abs(t_iso - t_ps) / abs(t_ps), 1e-4)
+
     # 4b. compiled Pallas binned-sum kernel vs f64 host bincount oracle at
     # a large-grid size (2048^2 points, 512 bins — above ONEHOT_MAX so the
     # real Mosaic kernel runs; repo tests only exercise interpret mode on
