@@ -272,6 +272,34 @@ def test_sharded_isotropic_power_spectrum(mesh24):
                         carray.to_numpy(local.data), atol=1e-10)
 
 
+def test_sharded_isotropic_3d_shells(mesh24):
+    """3-D spherical-shell isotropize (beyond the reference) under a
+    sharded transform dim: the flattened 3-axis one-hot aggregation
+    contracts across GSPMD-sharded spectral dims."""
+    import warnings
+
+    from xrft_tpu.parallel import sharded_isotropic_power_spectrum
+
+    N = 16
+    rng = np.random.RandomState(15)
+    da = LabeledArray(rng.randn(4, N, N, N),
+                      dims=["b", "z", "y", "x"],
+                      coords={"z": np.arange(N) * 1.0,
+                              "y": np.arange(N) * 1.0,
+                              "x": np.arange(N) * 1.0})
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        local = xrft_tpu.isotropic_power_spectrum(
+            da, dim=["z", "y", "x"], truncate=False)
+        dist = sharded_isotropic_power_spectrum(
+            da, mesh24, {"b": "p1", "z": "p2"}, dim=["z", "y", "x"],
+            truncate=False)
+    assert dist.dims == local.dims == ("b", "freq_r")
+    npt.assert_allclose(carray.to_numpy(dist.data),
+                        carray.to_numpy(local.data), atol=1e-10)
+    npt.assert_allclose(dist["freq_r"].values, local["freq_r"].values)
+
+
 @pytest.mark.parametrize("kind", ["fft", "ifft", "rfft", "irfft"])
 def test_pencil_with_stacked_engine(mesh8, kind):
     """The stacked matmul engine (the TPU production path) inside
