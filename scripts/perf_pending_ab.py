@@ -5,6 +5,10 @@
    pre-sorted case before the fix).
 2. direct-prune sweep at 2048-size prune axes (should
    config.direct_prune_max extend to 2048?).
+3. segment_overlap cost on the Welch flagship: 50% overlap processes
+   ~2x the samples on the overlapped axis — is the slice-stack
+   bandwidth-bound (expect <= ~2x the no-overlap time), and what does
+   the 8x4096^2 one-sided Welch PSD cost at 0 vs 50% overlap?
 
 Usage: python scripts/perf_pending_ab.py
 """
@@ -109,6 +113,31 @@ def main():
                   flush=True)
         finally:
             cfg.config.direct_prune_max = old
+    del x
+
+    # ---- 3. segment_overlap on the one-sided Welch flagship
+    B2, N2, SEG = 8, 4096, 1024
+    xw = jnp.asarray(rng.randn(B2, N2, N2).astype(np.float32))
+
+    def welch_with(overlap):
+        base = LabeledArray(
+            np.zeros((B2, N2, N2), np.float32),
+            dims=("time", "y", "x"),
+            coords={"y": np.arange(N2) * 0.5, "x": np.arange(N2) * 0.5},
+        ).chunk({"y": SEG, "x": SEG})
+
+        def f(xx):
+            da = base.copy(data=xx)
+            ps = xrft_tpu.power_spectrum(
+                da, dim=["y", "x"], real_dim="x", window="hann",
+                chunks_to_segments=True, segment_overlap=overlap)
+            return jnp.sum(ps.data)
+        return f
+
+    for overlap, label in [(None, "overlap 0 "), (SEG // 2, "overlap 50%")]:
+        ms = timeit(welch_with(overlap), xw, iters=4)
+        print(f"one-sided Welch flagship {label}: {ms:7.2f} ms/iter",
+              flush=True)
 
 
 if __name__ == "__main__":
