@@ -272,6 +272,33 @@ def test_sharded_isotropic_power_spectrum(mesh24):
                         carray.to_numpy(local.data), atol=1e-10)
 
 
+def test_sharded_coherence_matches_local(mesh8):
+    """sharded_coherence == local coherence (batch + segment sharding;
+    segment_overlap engaged)."""
+    from xrft_tpu.parallel import sharded_coherence
+
+    N, SEG = 128, 16
+    rng = np.random.RandomState(21)
+    tt = np.arange(N) * 0.25
+    shared = np.sin(2 * np.pi * 0.5 * tt)
+    xa = LabeledArray(shared + 0.5 * rng.randn(8, N), dims=["b", "t"],
+                      coords={"b": np.arange(8), "t": tt},
+                      name="u").chunk({"t": SEG})
+    ya = LabeledArray(0.5 * shared + 0.5 * rng.randn(8, N),
+                      dims=["b", "t"], coords={"b": np.arange(8), "t": tt},
+                      name="v").chunk({"t": SEG})
+    local = xrft_tpu.coherence(xa, ya, dim="t", real_dim="t",
+                               chunks_to_segments=True,
+                               segment_overlap=SEG // 2)
+    dist = sharded_coherence(xa, ya, mesh8, {"b": "p"}, dim="t",
+                             real_dim="t", chunks_to_segments=True,
+                             segment_overlap=SEG // 2)
+    assert dist.dims == local.dims
+    assert dist.name == "u_v_coherence"
+    npt.assert_allclose(carray.to_numpy(dist.data),
+                        carray.to_numpy(local.data), atol=1e-6)
+
+
 def test_sharded_isotropic_3d_shells(mesh24):
     """3-D spherical-shell isotropize (beyond the reference) under a
     sharded transform dim: the flattened 3-axis one-hot aggregation

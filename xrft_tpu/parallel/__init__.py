@@ -1,6 +1,7 @@
 from .mesh import axis_links, make_mesh, shard_labeled  # noqa: F401
 from .pencil import pencil_fftn  # noqa: F401
 from .api import (  # noqa: F401
+    sharded_coherence,
     sharded_cross_spectrum,
     sharded_fft,
     sharded_isotropic_power_spectrum,

@@ -126,6 +126,23 @@ def sharded_cross_spectrum(da1: LabeledArray, da2: LabeledArray,
     return spectra.cross_spectrum(da1, da2, engine=engine, **cs_kwargs)
 
 
+def sharded_coherence(da1: LabeledArray, da2: LabeledArray, mesh: Mesh,
+                      dim_shards: dict[str, str],
+                      **kwargs) -> LabeledArray:
+    """:func:`xrft_tpu.coherence` over a device mesh: the three Welch
+    estimates run through the sharded estimators (same layout), the
+    segment mean and magnitude-squared ratio are plain batch ops under
+    GSPMD."""
+    kwargs.setdefault("window", "hann")
+    true_phase = kwargs.pop("true_phase", False)
+    pxx = sharded_power_spectrum(da1, mesh, dim_shards, **kwargs)
+    pyy = sharded_power_spectrum(da2, mesh, dim_shards, **kwargs)
+    pxy = sharded_cross_spectrum(da1, da2, mesh, dim_shards,
+                                 true_phase=true_phase, **kwargs)
+    return spectra._coherence_from_estimates(pxx, pyy, pxy,
+                                             da1.name, da2.name)
+
+
 def sharded_isotropic_power_spectrum(da: LabeledArray, mesh: Mesh,
                                      dim_shards: dict[str, str],
                                      **iso_kwargs) -> LabeledArray:

@@ -694,7 +694,13 @@ def coherence(da1, da2, dim=None, real_dim=None, window="hann",
     pxx = power_spectrum(da1, **est)
     pyy = power_spectrum(da2, **est)
     pxy = cross_spectrum(da1, da2, true_phase=true_phase, **est)
+    return _coherence_from_estimates(pxx, pyy, pxy, da1.name, da2.name)
 
+
+def _coherence_from_estimates(pxx, pyy, pxy, name1=None,
+                              name2=None) -> LabeledArray:
+    """Segment-average the three Welch estimates, then the magnitude-
+    squared ratio (shared with :func:`parallel.sharded_coherence`)."""
     segdims = [d for d in pxy.dims if d.endswith("_segment")]
     if not segdims:
         warnings.warn(
@@ -706,8 +712,5 @@ def coherence(da1, da2, dim=None, real_dim=None, window="hann",
         pxy, pxx, pyy = pxy.mean(d), pxx.mean(d), pyy.mean(d)
     num = carray.abs2(pxy.data)
     coh = pxx.copy(data=num / (pxx.data * pyy.data))
-    if da1.name and da2.name:
-        coh.name = f"{da1.name}_{da2.name}_coherence"
-    else:
-        coh.name = None
+    coh.name = f"{name1}_{name2}_coherence" if name1 and name2 else None
     return coh
