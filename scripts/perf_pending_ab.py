@@ -119,12 +119,13 @@ def main():
     B2, N2, SEG = 8, 4096, 1024
     xw = jnp.asarray(rng.randn(B2, N2, N2).astype(np.float32))
 
+    base = LabeledArray(
+        jnp.zeros((B2, N2, N2), np.float32),  # device zeros: no 512 MB
+        dims=("time", "y", "x"),              # host->device transfer
+        coords={"y": np.arange(N2) * 0.5, "x": np.arange(N2) * 0.5},
+    ).chunk({"y": SEG, "x": SEG})
+
     def welch_with(overlap):
-        base = LabeledArray(
-            np.zeros((B2, N2, N2), np.float32),
-            dims=("time", "y", "x"),
-            coords={"y": np.arange(N2) * 0.5, "x": np.arange(N2) * 0.5},
-        ).chunk({"y": SEG, "x": SEG})
 
         def f(xx):
             da = base.copy(data=xx)

@@ -124,6 +124,31 @@ def test_coherence_scipy_parity(noverlap):
     assert v[np.argmin(np.abs(f_ref - 30.0))] > 0.9
 
 
+def test_coherence_hp_engine():
+    """coherence(engine='hp') degrades the df64 estimates to f32 for the
+    ratio (normalized statistic; scalings cancel) instead of crashing on
+    DF64 arithmetic."""
+    rng = np.random.RandomState(3)
+    tt = np.arange(128) * 0.5
+    xa = LabeledArray(np.sin(tt) + 0.3 * rng.randn(128), dims=["t"],
+                      coords={"t": tt}).chunk({"t": 32})
+    ya = LabeledArray(0.5 * np.sin(tt) + 0.3 * rng.randn(128), dims=["t"],
+                      coords={"t": tt}).chunk({"t": 32})
+    coh32 = xrft_tpu.coherence(xa, ya, dim="t", chunks_to_segments=True)
+    coh_hp = xrft_tpu.coherence(xa, ya, dim="t", chunks_to_segments=True,
+                                engine="hp")
+    npt.assert_allclose(np.asarray(coh_hp.values),
+                        np.asarray(coh32.values), rtol=1e-4, atol=1e-6)
+
+
+def test_segment_overlap_chunklen_exceeds_axis_raises():
+    da = LabeledArray(np.random.rand(128), dims=["t"],
+                      coords={"t": np.arange(128.0)}).chunk({"t": 200})
+    with pytest.raises(ValueError, match="exceeds dim"):
+        power_spectrum(da, dim="t", chunks_to_segments=True,
+                       segment_overlap=50)
+
+
 def test_coherence_unsegmented_warns_identically_one():
     rng = np.random.RandomState(2)
     tt = np.arange(64.0)

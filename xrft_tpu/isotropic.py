@@ -52,7 +52,8 @@ def isotropize(ps: LabeledArray, fftdim, nfactor=4, truncate=True,
     axes_coords = [np.asarray(ps.coords[d].values) for d in rev]
     N = [c.size for c in axes_coords]
     nbins = int(min(N) / nfactor)
-    grids = np.meshgrid(*axes_coords, indexing="ij")
+    # sparse grids: one full-size temporary instead of nf dense N^nf arrays
+    grids = np.meshgrid(*axes_coords, indexing="ij", sparse=True)
     freq_r = np.sqrt(sum(g**2 for g in grids))
 
     codes, nbins_eff = cut_codes(freq_r, nbins)

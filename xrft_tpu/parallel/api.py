@@ -24,7 +24,8 @@ from .mesh import shard_labeled
 from .pencil import pencil_fftn
 
 __all__ = ["sharded_fft", "sharded_power_spectrum",
-           "sharded_cross_spectrum", "sharded_isotropic_power_spectrum"]
+           "sharded_cross_spectrum", "sharded_coherence",
+           "sharded_isotropic_power_spectrum"]
 
 
 def _make_engine(mesh: Mesh, dims: tuple, dim_shards: dict):
@@ -63,8 +64,9 @@ def _prepare(da: LabeledArray, mesh, dim_shards, kwargs):
 
         dims = _norm_dim_list(da, kwargs.get("dim"))
         overlap = kwargs.pop("segment_overlap", None)
-        seg_dims, _, _, _ = _segment_plan(da, dims, overlap=overlap)
-        da = _stack_segments(da, dims, overlap=overlap)
+        plan = _segment_plan(da, dims, overlap=overlap)
+        seg_dims = plan[0]
+        da = _stack_segments(da, dims, plan=plan)
         # pin the transform dims: downstream must not re-stack or treat
         # the new segment axes as transform dims
         kwargs["dim"] = dims

@@ -22,7 +22,7 @@ from .labeled import Coord, LabeledArray
 from .ops import carray
 from .transform import _dim_coord, fft, _real_flag_warning
 
-__all__ = ["power_spectrum", "cross_spectrum", "cross_phase"]
+__all__ = ["power_spectrum", "cross_spectrum", "cross_phase", "coherence"]
 
 
 def _window_correction_factor(da, dim, scaling, window):
@@ -700,7 +700,15 @@ def coherence(da1, da2, dim=None, real_dim=None, window="hann",
 def _coherence_from_estimates(pxx, pyy, pxy, name1=None,
                               name2=None) -> LabeledArray:
     """Segment-average the three Welch estimates, then the magnitude-
-    squared ratio (shared with :func:`parallel.sharded_coherence`)."""
+    squared ratio (shared with :func:`parallel.sharded_coherence`).
+
+    engine='hp' estimates (df64 quads) are degraded to their f32 hi
+    planes first: coherence is a normalized [0, 1] statistic whose
+    scalings cancel in the ratio, so double-word precision adds nothing
+    and DF64 carries no arithmetic operators."""
+    from .transform import _degrade_quad
+
+    pxx, pyy, pxy = (_degrade_quad(p) for p in (pxx, pyy, pxy))
     segdims = [d for d in pxy.dims if d.endswith("_segment")]
     if not segdims:
         warnings.warn(

@@ -109,7 +109,7 @@ def _degrade_quad(da: LabeledArray) -> LabeledArray:
 
 
 def _stack_segments(da: LabeledArray, dim, suffix="_segment",
-                    overlap=None) -> LabeledArray:
+                    overlap=None, plan=None) -> LabeledArray:
     """Reshape each transform dim into (<dim>_segment, <dim>) according to
     the array's declared chunk lengths (Welch/Bartlett segmenting; the TPU
     analogue of the reference's dask-chunk reshape ``_stack_chunks``,
@@ -120,9 +120,10 @@ def _stack_segments(da: LabeledArray, dim, suffix="_segment",
     length (float in [0, 1)); segments become static strided windows —
     a stack of XLA slices, no gather — following scipy.signal.welch's
     ``noverlap`` convention (trailing samples that do not fill a final
-    segment are dropped)."""
-    newdims, newshape, newcoords, plans = _segment_plan(da, dim, suffix,
-                                                        overlap)
+    segment are dropped).  ``plan`` short-circuits a precomputed
+    :func:`_segment_plan` result (avoids re-warning on dropped tails)."""
+    newdims, newshape, newcoords, plans = plan if plan is not None \
+        else _segment_plan(da, dim, suffix, overlap)
     if all(hop == seglen for _, _, seglen, hop, _ in plans):
         data = carray.reshape(da.data, tuple(newshape)) \
             if carray.is_pair(da.data) else da.data.reshape(tuple(newshape))
@@ -194,6 +195,11 @@ def _segment_plan(da: LabeledArray, dim, suffix="_segment", overlap=None):
                     raise ValueError("Chunk lengths need to be the same.")
                 nseg = n // chunklen
             else:
+                if n < chunklen:
+                    raise ValueError(
+                        f"declared chunk length {chunklen} exceeds dim "
+                        f"{d!r} size {n}"
+                    )
                 nseg = (n - chunklen) // hop + 1
                 dropped = n - ((nseg - 1) * hop + chunklen)
                 if dropped:
