@@ -106,6 +106,13 @@ def test_public_functions_accept_and_return_dataarray(stub_xr):
     cs = xrft_tpu.cross_spectrum(da, la, dim=["x"])
     assert isinstance(cs, stub_xr.DataArray)
 
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")  # unsegmented-coherence warning
+        coh = xrft_tpu.coherence(da, la, dim=["x"])
+    assert isinstance(coh, stub_xr.DataArray)
+
     iso = xrft_tpu.isotropic_power_spectrum(da, dim=["y", "x"],
                                             truncate=True)
     assert isinstance(iso, stub_xr.DataArray)
