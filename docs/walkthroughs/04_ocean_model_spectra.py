@@ -118,6 +118,31 @@ def main():
                         atol=1e-6 * scale)
 
     # %% [markdown]
+    # ## 3-D shell spectra (beyond the reference)
+    #
+    # The reference's isotropic estimators are 2-D-only; here a 3-D
+    # volume reduces to a spherical-shell spectrum directly (the
+    # standard turbulence E(k) reduction), conserving the total.
+
+    # %%
+    import warnings
+
+    vol = LabeledArray(
+        rng.randn(12, 24, 24, 24).astype(np.float32),
+        dims=("time", "Z", "YC", "XC"),
+        coords={"Z": np.arange(24) * 1.0, "YC": np.arange(24) * 1.0,
+                "XC": np.arange(24) * 1.0})
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        ek = xrft_tpu.isotropic_power_spectrum(
+            vol, dim=["Z", "YC", "XC"], truncate=False)
+    ps3 = xrft_tpu.power_spectrum(vol, dim=["Z", "YC", "XC"])
+    assert ek.dims == ("time", "freq_r")
+    npt.assert_allclose(np.asarray(ek.values).sum(axis=-1),
+                        np.asarray(ps3.values).sum(axis=(-3, -2, -1)),
+                        rtol=1e-5)
+
+    # %% [markdown]
     # ## Scaling out: the same pipeline over a device mesh
     #
     # What dask chunking does for the reference, `jax.sharding` does
