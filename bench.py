@@ -25,9 +25,16 @@ Prints exactly one JSON line:
 """
 
 import json
+import os
 import time
 
 import numpy as np
+
+# XRFT_BENCH_SMOKE=1 shrinks every workload so the full script executes
+# in seconds on CPU — validates the bench code path itself (imports,
+# metric plumbing, JSON emission) without the chip. Timing values are
+# meaningless in smoke mode.
+_SMOKE = bool(os.environ.get("XRFT_BENCH_SMOKE"))
 
 
 def _pipeline_loop(da, iters):
@@ -62,7 +69,7 @@ def main():
     import xrft_tpu
     from xrft_tpu import LabeledArray
 
-    B, N = 8, 4096
+    B, N = (2, 256) if _SMOKE else (8, 4096)
     rng = np.random.RandomState(0)
     data = rng.randn(B, N, N).astype(np.float32)
     da = LabeledArray(
@@ -165,7 +172,7 @@ def main():
     # 64 iterations puts the loop's device time well above the ~27 ms RPC
     # noise floor (16 was measured to sometimes vanish under it); heavier
     # workloads (>= ~20 ms/iter) pass a smaller k so the bench stays fast
-    KC = 64
+    KC = 4 if _SMOKE else 64
 
     def loop_per_iter(step, x_init, k=None, reps=4):
         k = KC if k is None else k
@@ -187,7 +194,7 @@ def main():
     # config 3: isotropic power spectrum, 512^2 (one-hot-matmul binning;
     # BASELINE config 3's size — the one-hot constant is points x bins,
     # so larger grids pay a large host->device constant transfer)
-    N3 = 512
+    N3 = 128 if _SMOKE else 512
     da3 = LabeledArray(rng.randn(N3, N3).astype(np.float32),
                        dims=("y", "x"),
                        coords={"y": np.arange(N3) * 1.0,
@@ -202,7 +209,7 @@ def main():
     # config 3 at 2048^2: the large-grid regime (points x bins above the
     # one-hot threshold) served by the Pallas on-the-fly one-hot kernel
     # (~2.3 ms; the sorted-permutation path's 4M-point gather cost ~31 ms)
-    N3b = 2048
+    N3b = 256 if _SMOKE else 2048
     da3b = LabeledArray(rng.randn(N3b, N3b).astype(np.float32),
                         dims=("y", "x"),
                         coords={"y": np.arange(N3b) * 1.0,
@@ -216,7 +223,7 @@ def main():
            lambda: round(loop_per_iter(step3b, da3b.data), 2))
 
     # config 4: cross_spectrum, rfft over time, 64x512x512
-    B4, N4 = 64, 512
+    B4, N4 = (8, 64) if _SMOKE else (64, 512)
     da4a = LabeledArray(rng.randn(B4, N4, N4).astype(np.float32),
                         dims=("time", "y", "x"),
                         coords={"time": np.arange(B4) * 1.0,
@@ -237,7 +244,7 @@ def main():
 
     # engine="hp": the float64-grade jit pipeline (config-2 shape; the
     # precision contract itself is pinned in scripts/chip_checks.py)
-    N5 = 256
+    N5 = 64 if _SMOKE else 256
     da5 = LabeledArray(rng.randn(N5, N5).astype(np.float32),
                        dims=("y", "x"),
                        coords={"y": np.arange(N5) * 1.0,
@@ -282,7 +289,7 @@ def main():
     del re0
 
     # Welch flagship: 8x4096^2 PSD over 1024^2 hann segments
-    da_w = da.chunk({"y": 1024, "x": 1024})
+    da_w = da.chunk({"y": N // 4, "x": N // 4})
 
     def step_welch(xx):
         ps = xrft_tpu.power_spectrum(
@@ -306,7 +313,7 @@ def main():
 
     # ---- VERDICT r2 item 4: hp at scale (config 2's true shape and a
     # >= 4M-point transform)
-    N6 = 1024
+    N6 = 128 if _SMOKE else 1024
     da6 = LabeledArray(rng.randn(N6, N6).astype(np.float32),
                        dims=("y", "x"),
                        coords={"y": np.arange(N6) * 0.5,
@@ -321,7 +328,7 @@ def main():
     _bench("hp_psd_1024_ms",
            lambda: round(loop_per_iter(step6, da6.data, k=8), 2))
 
-    N7 = 2048  # 2-D fft, 4.19M points through the int8-limb hp engine
+    N7 = 256 if _SMOKE else 2048  # 2-D fft, 4.19M points through the int8-limb hp engine
     da7 = LabeledArray(rng.randn(N7, N7).astype(np.float32),
                        dims=("y", "x"),
                        coords={"y": np.arange(N7) * 1.0,
