@@ -36,6 +36,29 @@ def test_power_spectrum_periodogram_parity(mode):
     npt.assert_allclose(ps.values, p_scipy, atol=1e-11)
 
 
+@pytest.mark.parametrize("detrend", [False, "constant", "linear"])
+@pytest.mark.parametrize("noverlap", [0, 50])
+def test_welch_detrend_scipy_parity(noverlap, detrend):
+    """Per-segment detrending under Welch (segments stack first, detrend
+    applies over the transform dims of each segment) matches
+    scipy.signal.welch's detrend= exactly, with and without overlap."""
+    fs, L = 400.0, 100
+    rng = np.random.RandomState(7)
+    tt = np.arange(1200) / fs
+    x = np.sin(2 * np.pi * 30 * tt) + 0.3 * rng.randn(tt.size) + 0.005 * tt
+    da = LabeledArray(x, dims=["t"], coords={"t": tt}).chunk({"t": L})
+    ps = power_spectrum(
+        da, dim="t", real_dim="t", window="hann", chunks_to_segments=True,
+        segment_overlap=noverlap or None, window_correction=True,
+        detrend=detrend or None,
+    ).mean("t_segment")
+    f_ref, p_ref = sps.welch(x, fs=fs, window="hann", nperseg=L,
+                             noverlap=noverlap, detrend=detrend)
+    npt.assert_allclose(ps["freq_t"].values, f_ref)
+    npt.assert_allclose(np.asarray(ps.values), p_ref, rtol=1e-5,
+                        atol=1e-8 * p_ref.max())
+
+
 @pytest.mark.parametrize("noverlap", [0, 50, 30])
 @pytest.mark.parametrize("window_type", ["hann", "boxcar"])
 def test_one_sided_welch_scipy_parity(window_type, noverlap):
