@@ -59,6 +59,27 @@ def test_welch_detrend_scipy_parity(noverlap, detrend):
                         atol=1e-8 * p_ref.max())
 
 
+def test_median_welch_scipy_parity():
+    """Robust (median-averaged) Welch: LabeledArray.median over the
+    segment dim, divided by the chi2 median bias, equals
+    scipy.signal.welch(average='median')."""
+    fs, L = 400.0, 100
+    rng = np.random.RandomState(7)
+    tt = np.arange(1200) / fs
+    x = np.sin(2 * np.pi * 30 * tt) + 0.3 * rng.randn(tt.size)
+    da = LabeledArray(x, dims=["t"], coords={"t": tt}).chunk({"t": L})
+    ps = power_spectrum(da, dim="t", real_dim="t", window="hann",
+                        chunks_to_segments=True, window_correction=True)
+    nseg = ps.sizes["t_segment"]
+    # chi2 median bias (scipy _median_bias): 1 + sum(1/(2k+1) - 1/2k)
+    ii2 = 2 * np.arange(1.0, (nseg - 1) // 2 + 1)
+    bias = 1 + np.sum(1.0 / (ii2 + 1) - 1.0 / ii2)
+    med = np.asarray(ps.median("t_segment").values) / bias
+    f_ref, p_ref = sps.welch(x, fs=fs, window="hann", nperseg=L,
+                             noverlap=0, detrend=False, average="median")
+    npt.assert_allclose(med, p_ref, rtol=1e-5, atol=1e-8 * p_ref.max())
+
+
 @pytest.mark.parametrize("noverlap", [0, 50, 30])
 @pytest.mark.parametrize("window_type", ["hann", "boxcar"])
 def test_one_sided_welch_scipy_parity(window_type, noverlap):

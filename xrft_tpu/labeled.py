@@ -590,6 +590,12 @@ class LabeledArray:
     def var(self, dim=None):
         return self._reduce(jnp.var, dim)
 
+    def median(self, dim=None):
+        """Median reduction (e.g. robust Welch averaging over segment
+        dims, scipy.signal.welch's average='median' minus its chi2 bias
+        factor)."""
+        return self._reduce(jnp.median, dim)
+
     # ---------------------------------------------------------- elementwise
     def _unary(self, fn) -> "LabeledArray":
         return self.copy(data=fn(_asjax(self.data)))
