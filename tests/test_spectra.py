@@ -603,3 +603,111 @@ def test_segmented_psd_fused_engine_parity(mode):
     from xrft_tpu.ops.carray import to_numpy
     g, r = to_numpy(gotc.data), to_numpy(refc.data)
     npt.assert_allclose(g, r, atol=1e-6 * np.abs(r).max())
+
+
+# ---------------------------------------------------------------- spectrogram
+@pytest.mark.parametrize("detrend", [False, "constant"])
+@pytest.mark.parametrize("noverlap", [0, 50])
+def test_spectrogram_scipy_parity(noverlap, detrend):
+    """spectrogram(...) == scipy.signal.spectrogram (one-sided PSD per
+    sliding segment, mode='psd'), including the segment-center time
+    coordinate on the <dim>_segment axis (scipy's t vector when the
+    coordinate starts at 0).  Beyond the reference, whose segment index
+    is a bare integer."""
+    fs, nperseg = 400.0, 100
+    rng = np.random.RandomState(11)
+    tt = np.arange(1200) / fs
+    x = np.sin(2 * np.pi * 30 * tt) + 0.3 * rng.randn(tt.size)
+    da = LabeledArray(x, dims=["t"], coords={"t": tt}, name="u")
+
+    sg = xrft_tpu.spectrogram(da, dim="t", seglen=nperseg,
+                              segment_overlap=noverlap or 0, window="hann",
+                              detrend=detrend or None)
+    f_ref, t_ref, s_ref = sps.spectrogram(
+        x, fs=fs, window="hann", nperseg=nperseg, noverlap=noverlap,
+        detrend=detrend, scaling="density", mode="psd")
+    assert sg.name == "u_spectrogram"
+    assert sg.dims == ("t_segment", "freq_t")
+    npt.assert_allclose(sg["freq_t"].values, f_ref)
+    npt.assert_allclose(sg["t_segment"].values, t_ref)
+    npt.assert_allclose(np.asarray(sg.values).T, s_ref, rtol=1e-5,
+                        atol=1e-8 * s_ref.max())
+
+
+def test_spectrogram_fractional_overlap_and_chunked_input():
+    """Fractional segment_overlap and a pre-declared chunk length (no
+    seglen=) give the scipy noverlap semantics; the segment-center
+    coordinate honors a nonzero coordinate origin."""
+    fs, nperseg = 256.0, 64
+    rng = np.random.RandomState(3)
+    t0 = 5.0
+    tt = t0 + np.arange(640) / fs
+    x = rng.randn(tt.size)
+    da = LabeledArray(x, dims=["t"], coords={"t": tt}).chunk({"t": nperseg})
+
+    sg = xrft_tpu.spectrogram(da, dim="t", segment_overlap=0.5,
+                              window="hann", detrend="constant")
+    f_ref, t_ref, s_ref = sps.spectrogram(
+        x, fs=fs, window="hann", nperseg=nperseg, noverlap=nperseg // 2,
+        detrend="constant", scaling="density", mode="psd")
+    npt.assert_allclose(sg["freq_t"].values, f_ref)
+    npt.assert_allclose(sg["t_segment"].values, t0 + t_ref)
+    npt.assert_allclose(np.asarray(sg.values).T, s_ref, rtol=1e-5,
+                        atol=1e-8 * s_ref.max())
+    # hop spacing recorded for downstream coordinate math
+    npt.assert_allclose(sg.coords["t_segment"].attrs["spacing"],
+                        (nperseg // 2) / fs)
+
+
+def test_spectrogram_two_sided_complex_input():
+    """Complex input falls back to a two-sided estimate (scipy
+    return_onesided=False): fftfreq grid in raw order with shift=False."""
+    fs, nperseg = 128.0, 32
+    rng = np.random.RandomState(5)
+    tt = np.arange(320) / fs
+    x = rng.randn(tt.size) + 1j * rng.randn(tt.size)
+    da = LabeledArray(x, dims=["t"], coords={"t": tt})
+
+    sg = xrft_tpu.spectrogram(da, dim="t", seglen=nperseg, window="hann",
+                              detrend=None, shift=False)
+    f_ref, t_ref, s_ref = sps.spectrogram(
+        x, fs=fs, window="hann", nperseg=nperseg, noverlap=0,
+        detrend=False, return_onesided=False, scaling="density",
+        mode="psd")
+    assert sg.dims == ("t_segment", "freq_t")
+    npt.assert_allclose(sg["freq_t"].values, f_ref)
+    npt.assert_allclose(sg["t_segment"].values, t_ref)
+    npt.assert_allclose(np.asarray(sg.values).T, s_ref, rtol=1e-5,
+                        atol=1e-8 * s_ref.max())
+
+
+def test_spectrogram_error_contracts():
+    da = LabeledArray(np.random.rand(64), dims=["t"],
+                      coords={"t": np.arange(64.0)})
+    with pytest.raises(ValueError, match="segment length"):
+        xrft_tpu.spectrogram(da, dim="t")
+    with pytest.raises(ValueError, match="1-D sliding-segment"):
+        da2 = LabeledArray(np.random.rand(8, 8), dims=["x", "y"],
+                           coords={"x": range(8), "y": range(8)})
+        xrft_tpu.spectrogram(da2, dim=["x", "y"], seglen=4)
+    with pytest.raises(ValueError, match=r"\[0, 1\)"):
+        xrft_tpu.spectrogram(da, dim="t", seglen=16, segment_overlap=1.0)
+
+
+def test_spectrogram_batch_dim_and_welch_consistency():
+    """Extra batch dims pass through; averaging the spectrogram over
+    segments reproduces the Welch estimate."""
+    fs, nperseg = 200.0, 50
+    rng = np.random.RandomState(13)
+    tt = np.arange(500) / fs
+    x = rng.randn(3, tt.size)
+    da = LabeledArray(x, dims=["z", "t"],
+                      coords={"z": range(3), "t": tt})
+    sg = xrft_tpu.spectrogram(da, dim="t", seglen=nperseg, window="hann")
+    assert sg.dims == ("z", "t_segment", "freq_t")
+    welch = power_spectrum(
+        da.chunk({"t": nperseg}), dim="t", real_dim="t", window="hann",
+        chunks_to_segments=True, window_correction=True,
+        detrend="constant").mean("t_segment")
+    npt.assert_allclose(np.asarray(sg.mean("t_segment").values),
+                        np.asarray(welch.values), rtol=1e-6)

@@ -113,6 +113,10 @@ def test_public_functions_accept_and_return_dataarray(stub_xr):
         coh = xrft_tpu.coherence(da, la, dim=["x"])
     assert isinstance(coh, stub_xr.DataArray)
 
+    sg = xrft_tpu.spectrogram(da, dim="x", seglen=N // 2)
+    assert isinstance(sg, stub_xr.DataArray)
+    assert sg.dims == ("y", "x_segment", "freq_x")
+
     iso = xrft_tpu.isotropic_power_spectrum(da, dim=["y", "x"],
                                             truncate=True)
     assert isinstance(iso, stub_xr.DataArray)
