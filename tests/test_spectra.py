@@ -669,7 +669,7 @@ def test_spectrogram_two_sided_complex_input():
     da = LabeledArray(x, dims=["t"], coords={"t": tt})
 
     sg = xrft_tpu.spectrogram(da, dim="t", seglen=nperseg, window="hann",
-                              detrend=None, shift=False)
+                              detrend=None, shift=False, segment_overlap=0)
     f_ref, t_ref, s_ref = sps.spectrogram(
         x, fs=fs, window="hann", nperseg=nperseg, noverlap=0,
         detrend=False, return_onesided=False, scaling="density",
@@ -694,6 +694,93 @@ def test_spectrogram_error_contracts():
         xrft_tpu.spectrogram(da, dim="t", seglen=16, segment_overlap=1.0)
 
 
+def test_spectrogram_default_overlap_is_scipy_default():
+    """With segment_overlap unspecified, the default matches scipy's
+    noverlap = nperseg // 8 exactly (advisor r3: the old default 0
+    silently diverged from the docstring's scipy-parity claim)."""
+    fs, nperseg = 300.0, 80
+    rng = np.random.RandomState(21)
+    tt = np.arange(960) / fs
+    x = rng.randn(tt.size)
+    da = LabeledArray(x, dims=["t"], coords={"t": tt}, name="u")
+    sg = xrft_tpu.spectrogram(da, dim="t", seglen=nperseg, window="hann",
+                              detrend="constant")
+    f_ref, t_ref, s_ref = sps.spectrogram(
+        x, fs=fs, window="hann", nperseg=nperseg, detrend="constant",
+        scaling="density", mode="psd")  # scipy default noverlap
+    npt.assert_allclose(sg["t_segment"].values, t_ref)
+    npt.assert_allclose(np.asarray(sg.values).T, s_ref, rtol=1e-5,
+                        atol=1e-8 * s_ref.max())
+
+
+def test_spectrogram_tail_drop_zero_overlap():
+    """segment_overlap=0 with a signal length not divisible by seglen
+    drops the trailing partial segment (scipy convention) instead of
+    raising the Welch strict-divisibility error (advisor r3)."""
+    fs, nperseg = 128.0, 32
+    rng = np.random.RandomState(7)
+    tt = np.arange(330) / fs  # 330 = 10*32 + 10 leftover
+    x = rng.randn(tt.size)
+    da = LabeledArray(x, dims=["t"], coords={"t": tt}, name="u")
+    with pytest.warns(UserWarning, match="drops the last 10 samples"):
+        sg = xrft_tpu.spectrogram(da, dim="t", seglen=nperseg,
+                                  segment_overlap=0, window="hann",
+                                  detrend="constant")
+    f_ref, t_ref, s_ref = sps.spectrogram(
+        x, fs=fs, window="hann", nperseg=nperseg, noverlap=0,
+        detrend="constant", scaling="density", mode="psd")
+    assert sg.sizes["t_segment"] == len(t_ref) == 10
+    npt.assert_allclose(sg["t_segment"].values, t_ref)
+    npt.assert_allclose(np.asarray(sg.values).T, s_ref, rtol=1e-5,
+                        atol=1e-8 * s_ref.max())
+
+
+def test_spectrogram_decreasing_coordinate_centers():
+    """Decreasing coordinates give segment centers that walk DOWNWARD
+    from the first stored value, inside the coordinate range, with a
+    negative spacing attr; the PSD values are those of the stored
+    (reversed) series (advisor r3: |dx| walked the centers out of
+    range)."""
+    nperseg = 32
+    tt = np.arange(127.0, -1.0, -1.0)  # 127 .. 0, dt = -1
+    rng = np.random.RandomState(9)
+    x = rng.randn(tt.size)
+    da = LabeledArray(x, dims=["t"], coords={"t": tt}, name="u")
+    sg = xrft_tpu.spectrogram(da, dim="t", seglen=nperseg,
+                              segment_overlap=0, window="hann",
+                              detrend="constant")
+    centers = np.asarray(sg["t_segment"].values)
+    npt.assert_allclose(centers, [111.0, 79.0, 47.0, 15.0])
+    assert centers.min() >= tt.min() and centers.max() <= tt.max()
+    npt.assert_allclose(sg.coords["t_segment"].attrs["spacing"],
+                        -float(nperseg))
+    f_ref, t_ref, s_ref = sps.spectrogram(
+        x, fs=1.0, window="hann", nperseg=nperseg, noverlap=0,
+        detrend="constant", scaling="density", mode="psd")
+    npt.assert_allclose(np.asarray(sg.values).T, s_ref, rtol=1e-5,
+                        atol=1e-8 * s_ref.max())
+
+
+def test_spectrogram_integer_input_is_one_sided():
+    """Integer-dtype input counts as real (scipy semantics): one-sided
+    freq axis of size seglen//2+1, matching scipy on the float-cast
+    series (advisor r3: int input silently fell back to two-sided)."""
+    nperseg = 16
+    rng = np.random.RandomState(17)
+    x = rng.randint(-50, 50, size=160).astype(np.int32)
+    da = LabeledArray(x, dims=["t"],
+                      coords={"t": np.arange(160.0)}, name="u")
+    sg = xrft_tpu.spectrogram(da, dim="t", seglen=nperseg,
+                              segment_overlap=0, window="hann",
+                              detrend="constant")
+    assert sg.sizes["freq_t"] == nperseg // 2 + 1
+    f_ref, t_ref, s_ref = sps.spectrogram(
+        x.astype(np.float64), fs=1.0, window="hann", nperseg=nperseg,
+        noverlap=0, detrend="constant", scaling="density", mode="psd")
+    npt.assert_allclose(np.asarray(sg.values).T, s_ref, rtol=1e-5,
+                        atol=1e-8 * s_ref.max())
+
+
 def test_spectrogram_batch_dim_and_welch_consistency():
     """Extra batch dims pass through; averaging the spectrogram over
     segments reproduces the Welch estimate."""
@@ -703,7 +790,8 @@ def test_spectrogram_batch_dim_and_welch_consistency():
     x = rng.randn(3, tt.size)
     da = LabeledArray(x, dims=["z", "t"],
                       coords={"z": range(3), "t": tt})
-    sg = xrft_tpu.spectrogram(da, dim="t", seglen=nperseg, window="hann")
+    sg = xrft_tpu.spectrogram(da, dim="t", seglen=nperseg, window="hann",
+                              segment_overlap=0)
     assert sg.dims == ("z", "t_segment", "freq_t")
     welch = power_spectrum(
         da.chunk({"t": nperseg}), dim="t", real_dim="t", window="hann",

@@ -698,7 +698,7 @@ def coherence(da1, da2, dim=None, real_dim=None, window="hann",
     return _coherence_from_estimates(pxx, pyy, pxy, da1.name, da2.name)
 
 
-def spectrogram(da, dim=None, seglen=None, segment_overlap=0,
+def spectrogram(da, dim=None, seglen=None, segment_overlap=None,
                 window="hann", detrend="constant", scaling="density",
                 window_correction=True, real_dim="auto",
                 **kwargs) -> LabeledArray:
@@ -710,19 +710,24 @@ def spectrogram(da, dim=None, seglen=None, segment_overlap=0,
     Computes a per-segment one-sided PSD along ``dim`` (two-sided when
     the data is complex) and attaches a *physical* segment-center
     coordinate on the ``<dim>_segment`` axis — segment ``k`` is centered
-    at ``x0 + (k*hop + seglen/2) * dx`` in the units of ``dim``
-    (scipy's ``t`` vector when the coordinate starts at 0).  Rides the
-    fused one-sided raw-layout engine route, so the full spectrogram is
-    one XLA program.
+    at ``x0 + (k*hop + seglen/2) * dx`` in the units of ``dim``, with
+    ``x0``/``dx`` the *signed* first value/spacing of the stored
+    coordinate (scipy's ``t`` vector when the coordinate starts at 0 and
+    increases; for a decreasing coordinate the centers walk downward and
+    the recorded ``spacing`` attr is negative).  Trailing samples that do
+    not fill a final segment are dropped with a warning, as scipy does.
+    Rides the fused one-sided raw-layout engine route, so the full
+    spectrogram is one XLA program.
 
     Parameters mirror scipy.signal.spectrogram: ``seglen`` = nperseg
     (defaults to a chunk length already declared via
     ``da.chunk({dim: n})``), ``segment_overlap`` = noverlap (int
-    samples or float fraction of ``seglen``), ``detrend='constant'``
-    default.  ``window_correction=True`` by default (scipy always
-    corrects; the reference's estimators default off).  ``real_dim``:
-    'auto' (one-sided iff the input is real), a dim name, or None to
-    force a two-sided estimate.
+    samples or float fraction of ``seglen``; default None = scipy's
+    ``nperseg // 8``), ``detrend='constant'`` default.
+    ``window_correction=True`` by default (scipy always corrects; the
+    reference's estimators default off).  ``real_dim``: 'auto'
+    (one-sided iff the input is real — float *or* integer dtype, like
+    scipy), a dim name, or None to force a two-sided estimate.
     """
     if dim is None:
         dim = da.dims[-1]
@@ -746,11 +751,15 @@ def spectrogram(da, dim=None, seglen=None, segment_overlap=0,
     seglen = int(chunks[dim])
 
     if real_dim == "auto":
+        # scipy treats any non-complex input (float OR integer) as real
+        # and returns a one-sided estimate.
         is_real = (not carray.is_pair(da.data)
-                   and np.dtype(da.data.dtype).kind == "f")
+                   and np.dtype(da.data.dtype).kind in "fiu")
         real_dim = dim if is_real else None
 
-    ov = segment_overlap or 0
+    ov = segment_overlap
+    if ov is None:
+        ov = seglen // 8  # scipy.signal.spectrogram default noverlap
     if isinstance(ov, float):
         if not 0.0 <= ov < 1.0:
             raise ValueError(
@@ -760,8 +769,23 @@ def spectrogram(da, dim=None, seglen=None, segment_overlap=0,
     hop = seglen - ov
 
     coord = _dim_coord(da, dim)
-    dx = ce.get_coordinate_spacing(coord, kwargs.get("spacing_tol", 1e-3))
+    ce.get_coordinate_spacing(coord, kwargs.get("spacing_tol", 1e-3))
+    # Signed spacing of the STORED coordinate: segments slice storage
+    # order, so a decreasing coordinate walks the centers downward.
+    dx = float(ce.diff_coord(coord)[0])
     x0 = float(np.asarray(coord.values, dtype=np.float64).ravel()[0])
+
+    n = da.sizes[dim]
+    if ov == 0 and n % seglen:
+        # scipy drops the trailing partial segment; the Welch reshape
+        # path would instead raise the reference's strict-divisibility
+        # error ("Chunk lengths need to be the same.").
+        keep = (n // seglen) * seglen
+        warnings.warn(
+            f"spectrogram drops the last {n - keep} samples of dim "
+            f"{dim!r} (scipy.signal.spectrogram convention)"
+        )
+        da = da.isel({dim: slice(0, keep)}).chunk({dim: seglen})
 
     ps = power_spectrum(
         da, dim=[dim], real_dim=real_dim, scaling=scaling,
