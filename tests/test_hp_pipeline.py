@@ -10,17 +10,29 @@ practice the int8-limb engine holds ~1e-13 even here.
 
 import numpy as np
 import numpy.testing as npt
+import pytest
 import scipy.signal as sps
 
 import jax
 
 import xrft_tpu
 from xrft_tpu import LabeledArray
+from xrft_tpu.config import hp_impl
 from xrft_tpu.ops.carray import CDF64, DF64
 
 # the int8 integer path is exact on every backend; CPU only degrades the
 # df64 elementwise tails, which stay ~1e-11 in practice
 TOL = 1e-10
+
+
+@pytest.fixture(autouse=True)
+def _force_emulation():
+    """Pin the exact on-chip (int8-limb/df64) code path: with the default
+    config.hp_impl='auto' the hp pipelines route native-f64 on this CPU
+    backend (tests/test_hp_native.py covers that mode) and these tests
+    would silently stop exercising the TPU path."""
+    with hp_impl("emulate"):
+        yield
 
 
 def _da(N=64, seed=0, dx=0.5):
@@ -209,6 +221,42 @@ def test_hp_ifft_segments():
     ref3 = np.fft.ifft(np.fft.ifftshift(pre.reshape(2, seg), axes=-1),
                        axis=-1)
     npt.assert_allclose(np.asarray(out3.values), ref3, atol=1e-12)
+
+
+@pytest.mark.parametrize("shape", [(8, 16), (6, 10)])
+@pytest.mark.parametrize("tp,sh", [(False, False), (True, False),
+                                   (False, True), (True, True)])
+def test_ifft_hp_real_dim_flag_combos(shape, tp, sh):
+    """ifft(engine='hp', real_dim=) matches the f32 engine for every
+    true_phase x shift combo (round 4: the hp path previously dropped
+    the output shift on the full-length real axis — reference shifts
+    every transformed axis, /root/reference/xrft/xrft.py:617-621)."""
+    Ny, Nx = shape
+    rng = np.random.RandomState(5)
+    v = rng.randn(Ny, Nx)
+    F = np.fft.rfftn(v)
+    daft = LabeledArray(
+        F.astype(np.complex128), dims=("freq_y", "freq_x"),
+        coords={"freq_y": np.fft.fftfreq(Ny, 1.0),
+                "freq_x": np.fft.rfftfreq(Nx, 1.0)})
+    kw = dict(dim=["freq_y", "freq_x"], real_dim="freq_x", true_phase=tp,
+              shift=sh, true_amplitude=False, lag=[0.0, 0.0])
+    with np.errstate(all="ignore"), _np_warn_silence():
+        b32 = np.asarray(xrft_tpu.ifft(daft, **kw).values)
+        bhp = np.asarray(xrft_tpu.ifft(daft, engine="hp", **kw).values)
+    npt.assert_allclose(bhp, b32, atol=1e-12)
+
+
+class _np_warn_silence:
+    def __enter__(self):
+        import warnings as _w
+
+        self._c = _w.catch_warnings()
+        self._c.__enter__()
+        _w.simplefilter("ignore")
+
+    def __exit__(self, *a):
+        self._c.__exit__(*a)
 
 
 def test_df64_labeledarray_ops():

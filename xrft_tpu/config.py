@@ -91,6 +91,19 @@ class _Config:
     # scheduler, the kernel forfeits the overlap with the engine's dots
     # that the HLO mirror enjoys.  "auto" currently = "xla".
     psd_mirror_impl: str = "xla"
+    # engine='hp' implementation:
+    #   "auto"    - on backends with real float64 (cpu/gpu, requires
+    #               jax_enable_x64) the jit hp pipelines run native: f64
+    #               quad planes + the c128 XLA FFT — the 1e-10 precision
+    #               contract then holds OFF-chip too (<=1e-12 measured;
+    #               the emulated path degrades to ~2.5e-8 on XLA:CPU,
+    #               whose LLVM FMA contraction breaks the double-word
+    #               sequences — ROADMAP #6).  On TPU: int8-limb/df64
+    #               emulation (the only option; no f64 execution).
+    #   "emulate" - force the TPU emulation path everywhere (tests use
+    #               this on CPU to validate the exact on-chip code path).
+    #   "native"  - force native (errors on TPU, which has no f64).
+    hp_impl: str = "auto"
     # Hermitian row-pair packed two-sided PSD (ops/psd_packed.py): "auto"
     # takes the packed route (half-size complex FFT + elementwise
     # combine, no mirror pass) for real 2-D power spectra whenever
@@ -131,6 +144,21 @@ def fft_engine(engine: str):
         yield
     finally:
         config.fft_engine = old
+
+
+@contextmanager
+def hp_impl(mode: str):
+    """Context manager to temporarily force the engine='hp' implementation
+    ("auto" | "emulate" | "native"); tests force "emulate" on CPU to pin
+    the exact TPU code path."""
+    if mode not in ("auto", "emulate", "native"):
+        raise ValueError(f"Unknown hp implementation {mode!r}")
+    old = config.hp_impl
+    config.hp_impl = mode
+    try:
+        yield
+    finally:
+        config.hp_impl = old
 
 
 @contextmanager

@@ -66,7 +66,7 @@ def fft64(
 
         x4 = tuple(jnp.fft.ifftshift(v, axes=axis_num) for v in x4)
 
-    if jax.default_backend() in ("cpu", "gpu", "cuda", "rocm"):
+    if _hp_native(require_x64=False):
         # these backends have native float64: use the host/XLA c128 FFT
         z = df64_to_numpy(x4)
         f = np.fft.fftn(z, axes=axis_num)
@@ -170,7 +170,7 @@ def ifft64(
             )
 
     f = np.fft.ifftshift(f, axes=axis_num)
-    if jax.default_backend() in ("cpu", "gpu", "cuda", "rocm"):
+    if _hp_native(require_x64=False):
         out = np.fft.ifftn(f, axes=axis_num)
     else:
         re_h, re_l = df64.split_f64_np(np.ascontiguousarray(f.real))
@@ -242,7 +242,6 @@ def fft_hp(
 
     from .ops import carray
     from .ops.hp import as_quad, detrend_quad, window_quad
-    from .ops.int8_dft import int8_fft_nd
     from .transform import _move_to_end, _norm_dim, _stack_segments
 
     dim = _norm_dim(da, dim)
@@ -270,7 +269,7 @@ def fft_hp(
     ]
     lag_x = [ce.lag_coord(_dim_coord(da, d)) for d in dim]
 
-    x4 = as_quad(da.data)
+    x4 = _promote_quad(as_quad(da.data))
     if detrend is not None:
         rh, rl = detrend_quad(x4[0], x4[1], tuple(axis_num), detrend)
         ih, il = detrend_quad(x4[2], x4[3], tuple(axis_num), detrend) \
@@ -295,7 +294,7 @@ def fft_hp(
             x4 = tuple(jnp.flip(v, axis=rev) for v in x4)
 
     kind = "rfft" if real_dim is not None else "fft"
-    out4 = int8_fft_nd(
+    out4 = _hp_fft_nd(
         x4, axis_num, kind,
         pre_shift_axes=axis_num if true_phase else (),
         post_shift_axes=axis_num if shift else (),
@@ -351,7 +350,6 @@ def ifft_hp(
 
     from .ops.carray import CDF64, DF64
     from .ops.hp import as_quad
-    from .ops.int8_dft import int8_fft_nd
     from .transform import _move_to_end, _norm_dim
 
     dim = _norm_dim(daft, dim)
@@ -389,7 +387,7 @@ def ifft_hp(
             for d, l in zip(dim, lag)
         ]
 
-    x4 = as_quad(daft.data)
+    x4 = _promote_quad(as_quad(daft.data))
     if true_phase:
         for d, l in zip(dim, lag):
             ax = daft.get_axis_num(d)
@@ -447,14 +445,20 @@ def ifft_hp(
 
     nonreal_axes = [a for a, d in zip(axis_num, dim) if d != real_dim]
     kind = "irfft" if real_dim is not None else "ifft"
+    # output shifts apply to EVERY transformed axis — including the real
+    # one at its full irfft length (reference
+    # /root/reference/xrft/xrft.py:617-621).  The four flag combos
+    # collapse: ifftshift∘fftshift is the identity (they are inverses),
+    # so tp=F,sh=T needs nothing, tp=T,sh=T one fftshift, tp=F,sh=F one
+    # ifftshift.
     if true_phase and shift:
-        post_axes, post_kind = nonreal_axes, "fftshift"
+        post_axes, post_kind = axis_num, "fftshift"
     elif (not true_phase) and (not shift):
-        post_axes, post_kind = nonreal_axes, "ifftshift"
+        post_axes, post_kind = axis_num, "ifftshift"
     else:
         post_axes, post_kind = (), "fftshift"
-    out4 = int8_fft_nd(x4, axis_num, kind, pre_shift_axes=nonreal_axes,
-                       post_shift_axes=post_axes, post_kind=post_kind)
+    out4 = _hp_fft_nd(x4, axis_num, kind, pre_shift_axes=nonreal_axes,
+                      post_shift_axes=post_axes, post_kind=post_kind)
 
     Nout = [2 * (n - 1) if d == real_dim else n for n, d in zip(N, dim)]
     k = ce.ifreq_grids(N, delta_x, real_dim is not None, shift)
@@ -474,13 +478,102 @@ def ifft_hp(
                                 if kk2 == "spacing"})}, swap[d])
 
     if true_amplitude:
-        out4 = _scale_quad(out4, 1.0 / float(np.prod(
-            [np.float64(v) for v in out_spacing])))
+        s = 1.0 / float(np.prod([np.float64(v) for v in out_spacing]))
+        # the irfft transform returns a real (hi, lo) 2-tuple
+        out4 = _scale_quad_real(*out4, s) if kind == "irfft" \
+            else _scale_quad(out4, s)
 
     data = DF64(out4[0], out4[1]) if kind == "irfft" else CDF64(*out4)
     out = LabeledArray(data, dims=out_dims, coords=out_coords,
                        name=daft.name)
     return out.transpose(*[swap.get(d, d) for d in rawdims])
+
+
+def _hp_native(require_x64: bool = True) -> bool:
+    """Should the hp path run native float64 (vs the TPU emulation)?
+
+    "auto" (default): native on backends with real f64 (cpu/gpu) — for the
+    jit pipelines additionally requiring jax_enable_x64 (without x64 the
+    f64 promotion would silently truncate).  config.hp_impl overrides in
+    both directions ("emulate" keeps the exact TPU code path CPU-testable).
+    """
+    from .config import config
+
+    if config.hp_impl == "emulate":
+        return False
+    if config.hp_impl == "native":
+        return True
+    ok = jax.default_backend() in ("cpu", "gpu", "cuda", "rocm")
+    if require_x64:
+        ok = ok and bool(jax.config.jax_enable_x64)
+    return ok
+
+
+def _promote_quad(x4):
+    """f64-plane promotion for the native hp mode: with float64 base dtype
+    every df64 sequence downstream (detrend/window/cmul/abs2/scaling) is
+    at worst plain-f64 accurate (~1e-16) even where LLVM FMA contraction
+    breaks the compensation — which is what makes the 1e-10 contract hold
+    off-chip (reference accuracy pins
+    /root/reference/xrft/tests/test_xrft.py:693-842 hold on every backend
+    the reference supports)."""
+    import jax.numpy as jnp
+
+    if _hp_native():
+        return tuple(v.astype(jnp.float64) for v in x4)
+    return x4
+
+
+def _hp_fft_nd(x4, axes, kind, pre_shift_axes=(), post_shift_axes=(),
+               post_kind: str = "fftshift"):
+    """The hp transform, dispatched: native c128 XLA FFT on backends with
+    real float64, int8-limb MXU emulation elsewhere (or when forced via
+    config.hp_impl="emulate").  Contract identical to
+    :func:`..ops.int8_dft.int8_fft_nd`: per-axis pre-ifftshift /
+    post-shift rolls, 'irfft' returns a real (hi, lo) 2-tuple, everything
+    else a complex 4-tuple; in native mode the planes are float64 with
+    zero lo."""
+    if not _hp_native():
+        from .ops.int8_dft import int8_fft_nd
+
+        return int8_fft_nd(x4, axes, kind, pre_shift_axes,
+                           post_shift_axes, post_kind)
+    import jax.numpy as jnp
+
+    ndim = x4[0].ndim
+    axes = [a % ndim for a in axes]
+    pre = sorted({a % ndim for a in pre_shift_axes})
+    post = sorted({a % ndim for a in post_shift_axes})
+    if kind == "rfft":
+        # the halved real axis never takes a post-shift (int8_fft_nd
+        # skips it the same way)
+        post = [a for a in post if a != axes[-1]]
+    z = (x4[0].astype(jnp.float64) + x4[1].astype(jnp.float64)
+         + 1j * (x4[2].astype(jnp.float64) + x4[3].astype(jnp.float64)))
+    # per-axis shifts commute with transforms along OTHER axes, and
+    # int8_fft_nd applies each axis' pre-roll before (and post-roll
+    # after) that axis' own transform — so batching them around the full
+    # N-D transform is equivalent.
+    if pre:
+        z = jnp.fft.ifftshift(z, axes=pre)
+    if kind == "fft":
+        out = jnp.fft.fftn(z, axes=axes)
+    elif kind == "ifft":
+        out = jnp.fft.ifftn(z, axes=axes)
+    elif kind == "rfft":
+        out = jnp.fft.rfftn(jnp.real(z), axes=axes)
+    elif kind == "irfft":
+        out = jnp.fft.irfftn(z, axes=axes)
+    else:
+        raise ValueError(f"unknown hp transform kind {kind!r}")
+    if post:
+        fn = jnp.fft.fftshift if post_kind == "fftshift" \
+            else jnp.fft.ifftshift
+        out = fn(out, axes=post)
+    if kind == "irfft":
+        return out, jnp.zeros_like(out)
+    re, im = jnp.real(out), jnp.imag(out)
+    return (re, jnp.zeros_like(re), im, jnp.zeros_like(im))
 
 
 def _is_zero(v) -> bool:

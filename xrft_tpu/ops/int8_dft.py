@@ -301,7 +301,16 @@ def int8_fft_nd(x, axes, kind: str = "fft", pre_shift_axes=(),
         scale *= n
         sh, sl = (np.float32(v) for v in
                   _split_scalar(1.0 / scale))
-        return _df64.mul(out[0], out[1], sh, sl)
+        re = _df64.mul(out[0], out[1], sh, sl)
+        # post-shift rolls on the FULL-length real output (the reference
+        # shifts every transformed axis of the ifft output, including the
+        # real one — /root/reference/xrft/xrft.py:617-621)
+        for a in axes:
+            if a in post:
+                nn = re[0].shape[a]
+                amt = nn // 2 if post_kind == "fftshift" else -(nn // 2)
+                re = tuple(jnp.roll(v, amt, axis=a) for v in re)
+        return re
 
     # rfft: transform (and halve) the real trailing axis first, so the
     # remaining axes work on the one-sided array (numpy rfftn order)
