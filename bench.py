@@ -126,12 +126,14 @@ def _run():
         float(f(*a))  # scalar transfer forces full execution
         return (time.perf_counter() - t0) * 1e3
 
-    def best_of(f, n=3):
-        return min(_wall(f, x0) for _ in range(n))
-
-    t1 = best_of(f1)
-    tk = best_of(fk)
-    device_ms = max((tk - t1) / (K - 1), 1e-3)
+    # VERDICT r3 item 4 (variance control): the flagship number is the
+    # min over >=3 INDEPENDENT chained-loop estimates, and the artifact
+    # records the spread so a real ~1 ms regression is distinguishable
+    # from tunnel noise (BASELINE.md claims ±0.5 ms session variance).
+    t1 = min(_wall(f1, x0) for _ in range(4))
+    ests = [max((_wall(fk, x0) - t1) / (K - 1), 1e-3) for _ in range(4)]
+    device_ms = min(ests)
+    spread_ms = max(ests) - min(ests)
     call_ms = t1
 
     # numpy/pocketfft baseline: same math, one 4096^2 slice, scaled to B;
@@ -178,12 +180,15 @@ def _run():
 
     extras = {
         "call_ms": round(call_ms, 2),
+        "value_spread_ms": round(spread_ms, 2),
         "roofline_min_traffic_pct": round(100 * roofline_est_ms / device_ms, 1),
     }
     if bytes_accessed:
-        bw_ms = bytes_accessed / 819e9 * 1e3
+        # cost-analysis bytes only: the old roofline_measured_pct (wall
+        # clock vs the program's own issued bytes) exceeded 100% because
+        # DMA copies overlap MXU dots — a self-referential denominator
+        # that misled readers (VERDICT r2/r3), so the percentage is gone.
         extras["bytes_accessed_gb"] = round(bytes_accessed / 1e9, 2)
-        extras["roofline_measured_pct"] = round(100 * bw_ms / device_ms, 1)
 
     def _bench(key, fn):
         # a transient chip failure in one secondary metric must not lose
@@ -335,6 +340,38 @@ def _run():
 
     _bench("welch_psd_flagship_ms",
            lambda: round(loop_per_iter(step_welch, da_w.data, k=8), 2))
+
+    # overlap-Welch flagship (VERDICT r3 item 2): 8x4096^2 PSD over
+    # 1024^2 hann segments at 50% overlap — scipy noverlap semantics at
+    # TPU speed (processes ~4x the segment count of the non-overlap
+    # Welch flagship: 7x7 strided windows per field vs 4x4 tiles)
+    da_wo = da.chunk({"y": N // 4, "x": N // 4})
+
+    def step_welch_overlap(xx):
+        ps = xrft_tpu.power_spectrum(
+            da_wo.copy(data=xx), dim=["y", "x"], window="hann",
+            chunks_to_segments=True,
+            segment_overlap={"y": 0.5, "x": 0.5})
+        return jnp.sum(ps.data)
+
+    _bench("welch_overlap_psd_flagship_ms",
+           lambda: round(loop_per_iter(step_welch_overlap, da_wo.data,
+                                       k=4), 2))
+
+    # spectrogram flagship (VERDICT r3 item 5): 8 series x 4M samples,
+    # 4096-point hann segments, scipy-default overlap (nperseg//8)
+    Bs, Ns, segs = (2, 1 << 14, 256) if _SMOKE else (8, 1 << 22, 4096)
+    da_sg = LabeledArray(
+        rng.randn(Bs, Ns).astype(np.float32), dims=("z", "t"),
+        coords={"t": np.arange(Ns) * 2.5e-4})
+
+    def step_sg(xx):
+        sg = xrft_tpu.spectrogram(da_sg.copy(data=xx), dim="t",
+                                  seglen=segs, window="hann")
+        return jnp.sum(sg.data)
+
+    _bench("spectrogram_flagship_ms",
+           lambda: round(loop_per_iter(step_sg, da_sg.data, k=4), 2))
 
     # one-sided flagship: user-requested real_dim= PSD (the scipy.welch /
     # periodogram convention) rides the fused raw-layout route with the
