@@ -489,6 +489,46 @@ def test_make_mesh_axis_links_and_order():
     assert axis_links(m2) == {"p": "ici"}
 
 
+def test_axis_links_warns_on_unhinted_multislice_mesh(monkeypatch):
+    """A mesh spanning >1 slice_index granule with NO link registration
+    warns (once) that pencil plans will assume all-ICI; hinted meshes and
+    single-slice meshes stay silent (VERDICT r3 item 6)."""
+    import warnings
+
+    from xrft_tpu.parallel import axis_links, make_mesh
+    from xrft_tpu.parallel import mesh as mesh_mod
+
+    class _Dev:
+        def __init__(self, slice_index):
+            self.slice_index = slice_index
+
+    # granule detection itself, on a stubbed device list
+    assert mesh_mod._granules([_Dev(0), _Dev(0), _Dev(1)]) == {0, 1}
+    assert mesh_mod._granules([_Dev(None), object()]) == set()
+
+    # an unregistered mesh that "spans two slices" (stubbed: the CPU test
+    # devices expose no slice_index, so patch the detector)
+    m = jax.make_mesh((8,), ("p",))
+    mesh_mod._MESH_LINKS.pop(m, None)  # make_mesh interning may have hit it
+    monkeypatch.setattr(mesh_mod, "_granules", lambda devs: {0, 1})
+    with pytest.warns(RuntimeWarning, match="assume every axis is ICI"):
+        assert axis_links(m) == {"p": "ici"}
+    # second call: warned once, default registered
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        assert axis_links(m) == {"p": "ici"}
+
+    # a hinted mesh never warns, even multi-slice
+    m2 = make_mesh({"fp": (4, "ici"), "dp": (2, "dcn")})
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        assert axis_links(m2) == {"dp": "dcn", "fp": "ici"}
+
+    # drop the all-ICI default registered on the interned mesh so other
+    # tests sharing the same Mesh object see a clean registry
+    mesh_mod._MESH_LINKS.pop(m, None)
+
+
 def test_plan_dcn_axes_ordered_last():
     """A chain mixing ICI- and DCN-sharded transform axes transforms the
     DCN axis last, so its single inter-slice all_to_all can park on an

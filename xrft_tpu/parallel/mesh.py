@@ -123,10 +123,35 @@ _MESH_LINKS: "weakref.WeakKeyDictionary[Mesh, dict[str, str]]" = \
     weakref.WeakKeyDictionary()
 
 
+def _granules(devices) -> set:
+    """Distinct slice_index granules among ``devices`` (multi-slice
+    deployments expose one per slice; virtual/CPU devices expose none)."""
+    return {getattr(d, "slice_index", None) for d in devices} - {None}
+
+
 def axis_links(mesh: Mesh) -> dict[str, str]:
     """Per-mesh-axis link type ({axis: 'ici'|'dcn'}); axes of meshes built
-    outside :func:`make_mesh` (or without hints) default to 'ici'."""
-    links = _MESH_LINKS.get(mesh) or {}
+    outside :func:`make_mesh` (or without hints) default to 'ici'.
+
+    A mesh that spans multiple slice_index granules but carries no link
+    registration (e.g. built with the user's own ``jax.make_mesh``) warns
+    once: on real multi-slice hardware the all-ICI default silently plans
+    pencil chains whose collectives may ride the DCN (VERDICT r3 item 6).
+    """
+    links = _MESH_LINKS.get(mesh)
+    if links is None and len(_granules(np.asarray(mesh.devices).flat)) > 1:
+        import warnings
+
+        warnings.warn(
+            f"mesh spans {len(_granules(np.asarray(mesh.devices).flat))} "
+            f"device slices but has no topology hints registered: pencil "
+            f"plans will assume every axis is ICI, so collectives may ride "
+            f"the DCN. Build the mesh with xrft_tpu.parallel.make_mesh("
+            f"{{axis: (size, 'ici'|'dcn')}}) to register link types.",
+            RuntimeWarning, stacklevel=2)
+        # register the all-ICI default so the warning fires once per mesh
+        _MESH_LINKS[mesh] = {}
+    links = links or {}
     return {name: links.get(name, "ici") for name in mesh.shape}
 
 
