@@ -9,6 +9,8 @@ import numpy.testing as npt
 import pytest
 import scipy.signal as sps
 
+pytestmark = pytest.mark.slow
+
 from xrft_tpu import LabeledArray, fft
 from xrft_tpu.config import complex_mode
 

@@ -13,6 +13,8 @@ import numpy.testing as npt
 import pytest
 import scipy.signal as sps
 
+pytestmark = pytest.mark.slow
+
 import jax
 
 import xrft_tpu

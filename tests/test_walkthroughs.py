@@ -7,6 +7,8 @@ import pathlib
 
 import pytest
 
+pytestmark = pytest.mark.slow
+
 _DOCS = pathlib.Path(__file__).resolve().parent.parent / "docs" / "walkthroughs"
 _FILES = sorted(_DOCS.glob("*.py"))
 
