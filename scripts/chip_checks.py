@@ -144,6 +144,28 @@ def main():
     check("coherence vs scipy abs err",
           np.abs(np.asarray(coh.values) - c_o).max(), 1e-4)
 
+    # 4a4. spectrogram vs scipy.signal.spectrogram on a >=1024-segment
+    # workload (VERDICT r3 item 5: the on-chip leg of the three-legged
+    # evidence; the off-chip oracle is tests/test_spectra.py, the perf
+    # number is bench.py spectrogram_flagship_ms)
+    fs_sg, seg_sg = 1000.0, 256
+    hop_sg = seg_sg - seg_sg // 8
+    n_sg = 1024 * hop_sg + seg_sg  # exactly 1025 segments at scipy hop
+    t_sg = np.arange(n_sg) / fs_sg
+    x_sg = (np.sin(2 * np.pi * 50 * t_sg)
+            + 0.2 * rng.randn(n_sg)).astype(np.float32)
+    da_sg = LabeledArray(x_sg, dims=["t"], coords={"t": t_sg}, name="u")
+    sg = xrft_tpu.spectrogram(da_sg, dim="t", seglen=seg_sg,
+                              window="hann", detrend="constant")
+    f_sg, tt_sg, s_sg = sps.spectrogram(
+        x_sg.astype(np.float64), fs=fs_sg, window="hann", nperseg=seg_sg,
+        detrend="constant", scaling="density", mode="psd")
+    assert sg.sizes["t_segment"] == tt_sg.size >= 1024, sg.sizes
+    check("spectrogram vs scipy rel err",
+          np.abs(np.asarray(sg.values).T - s_sg).max() / s_sg.max(), 1e-5)
+    check("spectrogram segment centers max err",
+          np.abs(np.asarray(sg["t_segment"].values) - tt_sg).max(), 1e-9)
+
     # 4a3. 3-D spherical-shell isotropize conservation on chip
     N3d = 64
     d3d = LabeledArray(rng.randn(N3d, N3d, N3d).astype(np.float32),

@@ -104,15 +104,17 @@ def main():
         out = stacked_fft.raw_to_standard(ps, layout, axis_order=axis_order)
         return jnp.sum(out)
 
+    from xrft_tpu.config import config as _config
+
     for label, cap in [("factorized (16,128)", 1024), ("direct 2048", 2048)]:
-        old = cfg.config.direct_prune_max
-        cfg.config.direct_prune_max = cap
+        old = _config.direct_prune_max
+        _config.direct_prune_max = cap
         try:
             ms = timeit(with_restore, x)
             print(f"2048-seg prune plan {label}: {ms:7.2f} ms/iter",
                   flush=True)
         finally:
-            cfg.config.direct_prune_max = old
+            _config.direct_prune_max = old
     del x
 
     # ---- 3. segment_overlap on the one-sided Welch flagship
