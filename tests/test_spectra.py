@@ -781,6 +781,111 @@ def test_spectrogram_integer_input_is_one_sided():
                         atol=1e-8 * s_ref.max())
 
 
+# ----------------------------------------------------------- welch / csd
+@pytest.mark.parametrize("noverlap_kw", [None, 0, 0.25])
+def test_welch_scipy_parity(noverlap_kw):
+    """welch(...) == scipy.signal.welch with matching defaults (None ->
+    scipy's nperseg//2; samples; fraction), incl. tail drop at 0."""
+    fs, nperseg = 500.0, 128
+    rng = np.random.RandomState(31)
+    n = 1300  # not a multiple of nperseg
+    tt = np.arange(n) / fs
+    x = np.sin(2 * np.pi * 60 * tt) + 0.4 * rng.randn(n)
+    da = LabeledArray(x.astype(np.float32), dims=["t"], coords={"t": tt},
+                      name="u")
+    nov = {None: nperseg // 2, 0: 0, 0.25: nperseg // 4}[noverlap_kw]
+    kw = {} if noverlap_kw is None else {"segment_overlap": noverlap_kw}
+    import warnings as _w
+    with _w.catch_warnings():
+        _w.simplefilter("ignore")
+        got = xrft_tpu.welch(da, dim="t", seglen=nperseg, **kw)
+    f_ref, p_ref = sps.welch(x, fs=fs, window="hann", nperseg=nperseg,
+                             noverlap=nov, detrend="constant",
+                             scaling="density")
+    assert got.name == "u_welch"
+    assert got.dims == ("freq_t",)
+    npt.assert_allclose(got["freq_t"].values, f_ref)
+    npt.assert_allclose(np.asarray(got.values), p_ref, rtol=1e-5,
+                        atol=1e-8 * p_ref.max())
+
+
+def test_welch_hp_engine_compensated_mean():
+    """welch(engine='hp') returns DF64 data with the segment averaging
+    done in compensated df64 (not per-plane f32 sums): <=1e-10 vs the
+    float64 host oracle."""
+    from xrft_tpu.ops.carray import DF64
+
+    fs, nperseg = 100.0, 32
+    rng = np.random.RandomState(33)
+    n = 8 * nperseg
+    x = rng.randn(n).astype(np.float32)
+    da = LabeledArray(x, dims=["t"], coords={"t": np.arange(n) / fs},
+                      name="u")
+    got = xrft_tpu.welch(da, dim="t", seglen=nperseg, segment_overlap=0,
+                         engine="hp")
+    assert isinstance(got.data, DF64)
+    f_ref, p_ref = sps.welch(x.astype(np.float64), fs=fs, window="hann",
+                             nperseg=nperseg, noverlap=0,
+                             detrend="constant", scaling="density")
+    rel = np.abs(np.asarray(got.values) - p_ref).max() / p_ref.max()
+    assert rel < 1e-10
+
+
+def test_welch_complex_two_sided_and_batch():
+    """Complex input -> two-sided; batch dims ride along."""
+    fs, nperseg = 64.0, 16
+    rng = np.random.RandomState(35)
+    x = (rng.randn(3, 160) + 1j * rng.randn(3, 160))
+    da = LabeledArray(x, dims=["z", "t"],
+                      coords={"z": range(3), "t": np.arange(160) / fs})
+    got = xrft_tpu.welch(da, dim="t", seglen=nperseg, shift=False)
+    f_ref, p_ref = sps.welch(x, fs=fs, window="hann", nperseg=nperseg,
+                             noverlap=nperseg // 2, detrend="constant",
+                             scaling="density", return_onesided=False)
+    assert got.dims == ("z", "freq_t")
+    npt.assert_allclose(got["freq_t"].values, f_ref)
+    npt.assert_allclose(np.asarray(got.values), p_ref, rtol=1e-5,
+                        atol=1e-8 * np.abs(p_ref).max())
+
+
+def test_csd_scipy_parity():
+    """csd(...) == scipy.signal.csd (complex cross PSD, 50% overlap
+    default, one-sided for real inputs)."""
+    fs, nperseg = 250.0, 64
+    rng = np.random.RandomState(37)
+    n = 640
+    tt = np.arange(n) / fs
+    x = np.sin(2 * np.pi * 40 * tt) + 0.3 * rng.randn(n)
+    y = np.sin(2 * np.pi * 40 * tt + np.pi / 4) + 0.3 * rng.randn(n)
+    da1 = LabeledArray(x.astype(np.float32), dims=["t"],
+                       coords={"t": tt}, name="u")
+    da2 = LabeledArray(y.astype(np.float32), dims=["t"],
+                       coords={"t": tt}, name="v")
+    got = xrft_tpu.csd(da1, da2, dim="t", seglen=nperseg)
+    f_ref, p_ref = sps.csd(x, y, fs=fs, window="hann", nperseg=nperseg,
+                           noverlap=nperseg // 2, detrend="constant",
+                           scaling="density")
+    assert got.name == "u_v_csd"
+    npt.assert_allclose(got["freq_t"].values, f_ref)
+    npt.assert_allclose(np.asarray(got.values), p_ref, rtol=1e-4,
+                        atol=1e-7 * np.abs(p_ref).max())
+    # csd(x, x) == welch(x)
+    auto = xrft_tpu.csd(da1, da1, dim="t", seglen=nperseg)
+    w = xrft_tpu.welch(da1, dim="t", seglen=nperseg)
+    npt.assert_allclose(np.asarray(auto.values).real,
+                        np.asarray(w.values), rtol=1e-5)
+    assert np.abs(np.asarray(auto.values).imag).max() < 1e-8
+
+
+def test_csd_dim_mismatch_error():
+    da1 = LabeledArray(np.random.rand(32), dims=["t"],
+                       coords={"t": np.arange(32.0)})
+    da2 = LabeledArray(np.random.rand(32), dims=["s"],
+                       coords={"s": np.arange(32.0)})
+    with pytest.raises(ValueError, match="same dimensions"):
+        xrft_tpu.csd(da1, da2, dim="t", seglen=8)
+
+
 def test_spectrogram_batch_dim_and_welch_consistency():
     """Extra batch dims pass through; averaging the spectrogram over
     segments reproduces the Welch estimate."""

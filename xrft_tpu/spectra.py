@@ -23,7 +23,7 @@ from .ops import carray
 from .transform import _dim_coord, fft, _real_flag_warning
 
 __all__ = ["power_spectrum", "cross_spectrum", "cross_phase", "coherence",
-           "spectrogram"]
+           "spectrogram", "welch", "csd"]
 
 
 def _window_correction_factor(da, dim, scaling, window):
@@ -729,43 +729,10 @@ def spectrogram(da, dim=None, seglen=None, segment_overlap=None,
     (one-sided iff the input is real — float *or* integer dtype, like
     scipy), a dim name, or None to force a two-sided estimate.
     """
-    if dim is None:
-        dim = da.dims[-1]
-    if not isinstance(dim, str):
-        dim = list(dim)
-        if len(dim) != 1:
-            raise ValueError(
-                f"spectrogram is a 1-D sliding-segment estimate; got "
-                f"dim={dim!r} (transform other dims with power_spectrum)"
-            )
-        dim = dim[0]
-
-    if seglen is not None:
-        da = da.chunk({dim: int(seglen)})
-    chunks = da.chunks or {}
-    if dim not in chunks:
-        raise ValueError(
-            "spectrogram needs a segment length: pass seglen= or declare "
-            "one with da.chunk({dim: seglen}) first"
-        )
-    seglen = int(chunks[dim])
-
+    da, dim, seglen, ov = _stft_plan(da, dim, seglen, segment_overlap, 8,
+                                     "spectrogram")
     if real_dim == "auto":
-        # scipy treats any non-complex input (float OR integer) as real
-        # and returns a one-sided estimate.
-        is_real = (not carray.is_pair(da.data)
-                   and np.dtype(da.data.dtype).kind in "fiu")
-        real_dim = dim if is_real else None
-
-    ov = segment_overlap
-    if ov is None:
-        ov = seglen // 8  # scipy.signal.spectrogram default noverlap
-    if isinstance(ov, float):
-        if not 0.0 <= ov < 1.0:
-            raise ValueError(
-                f"fractional segment_overlap must be in [0, 1), got {ov}"
-            )
-        ov = int(round(ov * seglen))
+        real_dim = dim if _is_real_input(da) else None
     hop = seglen - ov
 
     coord = _dim_coord(da, dim)
@@ -774,18 +741,6 @@ def spectrogram(da, dim=None, seglen=None, segment_overlap=None,
     # order, so a decreasing coordinate walks the centers downward.
     dx = float(ce.diff_coord(coord)[0])
     x0 = float(np.asarray(coord.values, dtype=np.float64).ravel()[0])
-
-    n = da.sizes[dim]
-    if ov == 0 and n % seglen:
-        # scipy drops the trailing partial segment; the Welch reshape
-        # path would instead raise the reference's strict-divisibility
-        # error ("Chunk lengths need to be the same.").
-        keep = (n // seglen) * seglen
-        warnings.warn(
-            f"spectrogram drops the last {n - keep} samples of dim "
-            f"{dim!r} (scipy.signal.spectrogram convention)"
-        )
-        da = da.isel({dim: slice(0, keep)}).chunk({dim: seglen})
 
     ps = power_spectrum(
         da, dim=[dim], real_dim=real_dim, scaling=scaling,
@@ -800,6 +755,168 @@ def spectrogram(da, dim=None, seglen=None, segment_overlap=None,
         {segdim: Coord(segdim, centers, attrs={"spacing": hop * dx},
                        name=segdim)})
     out.name = f"{da.name}_spectrogram" if da.name else None
+    return out
+
+
+def _is_real_input(da) -> bool:
+    """scipy's real-input test: any non-complex dtype (float OR integer)
+    counts as real and yields a one-sided estimate."""
+    return (not carray.is_pair(da.data)
+            and np.dtype(da.data.dtype).kind in "fiu")
+
+
+def _stft_plan(da, dim, seglen, segment_overlap, default_div, caller):
+    """Shared sliding-segment prologue for the scipy-namesake estimators
+    (spectrogram / welch / csd): dim normalization, segment-length
+    resolution (seglen= or a declared chunk), overlap resolution
+    (``None`` -> ``seglen // default_div``, scipy's per-function
+    default), and the scipy tail-drop for non-dividing lengths at zero
+    overlap.  Returns (da, dim, seglen, overlap_samples)."""
+    if dim is None:
+        dim = da.dims[-1]
+    if not isinstance(dim, str):
+        dim = list(dim)
+        if len(dim) != 1:
+            raise ValueError(
+                f"{caller} is a 1-D sliding-segment estimate; got "
+                f"dim={dim!r} (transform other dims with power_spectrum)"
+            )
+        dim = dim[0]
+
+    if seglen is not None:
+        da = da.chunk({dim: int(seglen)})
+    chunks = da.chunks or {}
+    if dim not in chunks:
+        raise ValueError(
+            f"{caller} needs a segment length: pass seglen= or declare "
+            "one with da.chunk({dim: seglen}) first"
+        )
+    seglen = int(chunks[dim])
+
+    ov = segment_overlap
+    if ov is None:
+        ov = seglen // default_div  # scipy's default noverlap
+    if isinstance(ov, float):
+        if not 0.0 <= ov < 1.0:
+            raise ValueError(
+                f"fractional segment_overlap must be in [0, 1), got {ov}"
+            )
+        ov = int(round(ov * seglen))
+
+    n = da.sizes[dim]
+    if ov == 0 and n % seglen:
+        # scipy drops the trailing partial segment; the Welch reshape
+        # path would instead raise the reference's strict-divisibility
+        # error ("Chunk lengths need to be the same.").
+        keep = (n // seglen) * seglen
+        warnings.warn(
+            f"{caller} drops the last {n - keep} samples of dim "
+            f"{dim!r} (scipy convention)"
+        )
+        da = da.isel({dim: slice(0, keep)}).chunk({dim: seglen})
+    return da, dim, seglen, ov
+
+
+def _segment_mean(la: LabeledArray, segdim: str) -> LabeledArray:
+    """Mean over a segment dim; compensated (dsum + exact 1/n split) for
+    engine='hp' quad data so the averaging does not degrade the df64
+    planes to per-plane f32 sums."""
+    from .ops.carray import CDF64, DF64
+
+    if not isinstance(la.data, (DF64, CDF64)):
+        return la.mean(segdim)
+    from .ops import df64 as _d
+    from .ops.hp import _split_const, dsum
+
+    ax = la.dims.index(segdim)
+    ih, il = (jnp.float32(v) for v in _split_const(1.0 / la.sizes[segdim]))
+
+    def m2(h, l):
+        h2, l2 = dsum(h, l, (ax,), keepdims=False)
+        return _d.mul(h2, l2, ih, il)
+
+    if isinstance(la.data, DF64):
+        data = DF64(*m2(la.data.hi, la.data.lo))
+    else:
+        rh, rl = m2(la.data.rh, la.data.rl)
+        ih2, il2 = m2(la.data.ih, la.data.il)
+        data = CDF64(rh, rl, ih2, il2)
+    return LabeledArray(
+        data, dims=[d for d in la.dims if d != segdim],
+        coords={k: c.copy() for k, c in la.coords.items()
+                if segdim not in c.dims},
+        attrs=dict(la.attrs), name=la.name)
+
+
+def welch(da, dim=None, seglen=None, segment_overlap=None, window="hann",
+          detrend="constant", scaling="density", window_correction=True,
+          real_dim="auto", **kwargs) -> LabeledArray:
+    """Welch PSD estimate — the scipy.signal.welch convenience over the
+    reference-parity machinery (== ``power_spectrum(...,
+    chunks_to_segments=True, ...).mean(<dim>_segment)``; beyond the
+    reference, whose users hand-assemble this from ``chunks_to_segments``
+    and a dask mean, `/root/reference/doc/chunk_example.ipynb`).
+
+    scipy defaults throughout: ``segment_overlap=None`` means
+    ``seglen // 2``, window='hann', detrend='constant',
+    window_correction on, one-sided for real (float or integer) input;
+    trailing samples that don't fill a segment are dropped with a
+    warning.  ``segment_overlap`` accepts samples or a fraction.
+    Composes with ``engine='hp'`` (compensated segment averaging) and
+    extra batch dims.
+    """
+    da, dim, seglen, ov = _stft_plan(da, dim, seglen, segment_overlap, 2,
+                                     "welch")
+    if real_dim == "auto":
+        real_dim = dim if _is_real_input(da) else None
+    ps = power_spectrum(
+        da, dim=[dim], real_dim=real_dim, scaling=scaling,
+        window_correction=window_correction, window=window,
+        detrend=detrend, chunks_to_segments=True,
+        segment_overlap={dim: ov} if ov else None, **kwargs)
+    out = _segment_mean(ps, dim + "_segment")
+    out.name = f"{da.name}_welch" if da.name else None
+    return out
+
+
+def csd(da1, da2, dim=None, seglen=None, segment_overlap=None,
+        window="hann", detrend="constant", scaling="density",
+        window_correction=True, real_dim="auto", true_phase=False,
+        **kwargs) -> LabeledArray:
+    """Cross power spectral density — the scipy.signal.csd convenience
+    (Welch-averaged ``cross_spectrum``; beyond the reference).  Defaults
+    mirror scipy: 50% overlap, hann, constant detrend, window
+    correction, one-sided iff BOTH inputs are real.  ``true_phase``
+    defaults False (both inputs share coordinates, so the lag phase
+    factors cancel exactly inside the conjugated product).
+
+    Conjugate convention: scipy's ``Pxy = conj(F(x)) * F(y)`` while the
+    reference's :func:`cross_spectrum` returns ``F(da1) * conj(F(da2))``
+    (`/root/reference/xrft/xrft.py:825`); this scipy namesake follows
+    scipy, i.e. ``csd(x, y) == conj(cross_spectrum-average)``."""
+    if tuple(da1.dims) != tuple(da2.dims):
+        raise ValueError("da1 and da2 must have the same dimensions!")
+    da1, dim, seglen, ov = _stft_plan(da1, dim, seglen, segment_overlap, 2,
+                                      "csd")
+    if da2.sizes[dim] != da1.sizes[dim]:
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            da2, _, _, _ = _stft_plan(da2, dim, seglen, segment_overlap, 2,
+                                      "csd")
+    else:
+        da2 = da2.chunk({dim: seglen})
+    if real_dim == "auto":
+        real_dim = dim if (_is_real_input(da1)
+                           and _is_real_input(da2)) else None
+    cs = cross_spectrum(
+        da1, da2, dim=[dim], real_dim=real_dim, scaling=scaling,
+        window_correction=window_correction, window=window,
+        detrend=detrend, chunks_to_segments=True, true_phase=true_phase,
+        segment_overlap={dim: ov} if ov else None, **kwargs)
+    out = _segment_mean(cs, dim + "_segment")
+    out = out.copy(data=carray.conj(out.data))
+    out.name = (f"{da1.name}_{da2.name}_csd"
+                if da1.name and da2.name else None)
     return out
 
 
