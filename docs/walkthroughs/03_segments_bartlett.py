@@ -135,6 +135,35 @@ def main():
     assert v[np.argmin(np.abs(fc - 2.0))] > 0.7
 
     # %% [markdown]
+    # ## The scipy namesakes (round 4)
+    #
+    # `welch`, `csd`, and `spectrogram` wrap the segment machinery with
+    # scipy.signal's exact defaults — one call replaces the
+    # chunk/estimate/mean assembly above for users porting scipy code.
+
+    # %%
+    w1 = xrft_tpu.welch(xa, dim="time", seglen=32)  # 50% overlap default
+    f_w, p_w = sps.welch(np.asarray(xa.values), fs=fs, window="hann",
+                         nperseg=32, noverlap=16, detrend="constant")
+    npt.assert_allclose(np.asarray(w1.values), p_w, rtol=1e-4,
+                        atol=1e-6 * p_w.max())
+
+    c1 = xrft_tpu.csd(xa, ya, dim="time", seglen=32)
+    f_c, p_c = sps.csd(np.asarray(xa.values), np.asarray(ya.values),
+                       fs=fs, window="hann", nperseg=32, noverlap=16,
+                       detrend="constant")
+    npt.assert_allclose(np.asarray(c1.values), p_c, rtol=1e-4,
+                        atol=1e-6 * np.abs(p_c).max())
+
+    sg = xrft_tpu.spectrogram(xa, dim="time", seglen=32)
+    f_s, t_s, p_s = sps.spectrogram(np.asarray(xa.values), fs=fs,
+                                    window="hann", nperseg=32,
+                                    detrend="constant", mode="psd")
+    npt.assert_allclose(np.asarray(sg["time_segment"].values), t_s)
+    npt.assert_allclose(np.asarray(sg.values).T, p_s, rtol=1e-4,
+                        atol=1e-6 * p_s.max())
+
+    # %% [markdown]
     # Inverse transforms segment too (each freq chunk is an independent
     # inverse transform) — a capability pinned by
     # tests/test_transform.py::test_ifft_chunks_to_segments.

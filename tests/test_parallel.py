@@ -299,6 +299,36 @@ def test_sharded_coherence_matches_local(mesh8):
                         carray.to_numpy(local.data), atol=1e-6)
 
 
+def test_sharded_welch_and_csd_match_local(mesh8):
+    """sharded_welch / sharded_csd == the local scipy namesakes (batch
+    sharding; segment axis rides as batch parallelism)."""
+    from xrft_tpu.parallel import sharded_csd, sharded_welch
+
+    N, SEG = 128, 16
+    rng = np.random.RandomState(23)
+    tt = np.arange(N) * 0.25
+    xa = LabeledArray(rng.randn(8, N), dims=["b", "t"],
+                      coords={"b": np.arange(8), "t": tt}, name="u")
+    ya = LabeledArray(rng.randn(8, N), dims=["b", "t"],
+                      coords={"b": np.arange(8), "t": tt}, name="v")
+
+    local_w = xrft_tpu.welch(xa, dim="t", seglen=SEG)
+    dist_w = sharded_welch(xa, mesh8, {"b": "p"}, dim="t", seglen=SEG)
+    assert dist_w.dims == local_w.dims
+    assert dist_w.name == "u_welch"
+    npt.assert_allclose(carray.to_numpy(dist_w.data),
+                        carray.to_numpy(local_w.data), atol=1e-6)
+
+    local_c = xrft_tpu.csd(xa, ya, dim="t", seglen=SEG)
+    dist_c = sharded_csd(xa, ya, mesh8, {"b": "p"}, dim="t", seglen=SEG)
+    assert dist_c.dims == local_c.dims
+    assert dist_c.name == "u_v_csd"
+    npt.assert_allclose(carray.to_numpy(dist_c.data),
+                        carray.to_numpy(local_c.data),
+                        atol=1e-6 * np.abs(
+                            carray.to_numpy(local_c.data)).max())
+
+
 def test_sharded_isotropic_3d_shells(mesh24):
     """3-D spherical-shell isotropize (beyond the reference) under a
     sharded transform dim: the flattened 3-axis one-hot aggregation

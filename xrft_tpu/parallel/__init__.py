@@ -3,7 +3,9 @@ from .pencil import pencil_fftn  # noqa: F401
 from .api import (  # noqa: F401
     sharded_coherence,
     sharded_cross_spectrum,
+    sharded_csd,
     sharded_fft,
     sharded_isotropic_power_spectrum,
     sharded_power_spectrum,
+    sharded_welch,
 )
