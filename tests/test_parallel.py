@@ -540,6 +540,7 @@ def test_axis_links_warns_on_unhinted_multislice_mesh(monkeypatch):
     # devices expose no slice_index, so patch the detector)
     m = jax.make_mesh((8,), ("p",))
     mesh_mod._MESH_LINKS.pop(m, None)  # make_mesh interning may have hit it
+    mesh_mod._WARNED_UNHINTED.discard(m)
     monkeypatch.setattr(mesh_mod, "_granules", lambda devs: {0, 1})
     with pytest.warns(RuntimeWarning, match="assume every axis is ICI"):
         assert axis_links(m) == {"p": "ici"}
@@ -554,9 +555,14 @@ def test_axis_links_warns_on_unhinted_multislice_mesh(monkeypatch):
         warnings.simplefilter("error")
         assert axis_links(m2) == {"dp": "dcn", "fp": "ici"}
 
-    # drop the all-ICI default registered on the interned mesh so other
-    # tests sharing the same Mesh object see a clean registry
-    mesh_mod._MESH_LINKS.pop(m, None)
+    # a make_mesh call WITHOUT hints must not register links (that would
+    # suppress this warning for a later unhinted multi-slice handle)
+    m3 = make_mesh({"p": 8})
+    assert mesh_mod._MESH_LINKS.get(m3) is None or m3 is m2
+
+    # drop the warned marker so other tests sharing the interned Mesh
+    # object see a clean registry
+    mesh_mod._WARNED_UNHINTED.discard(m)
 
 
 def test_plan_dcn_axes_ordered_last():

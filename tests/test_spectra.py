@@ -877,6 +877,85 @@ def test_csd_scipy_parity():
     assert np.abs(np.asarray(auto.values).imag).max() < 1e-8
 
 
+def test_spectrogram_datetime64_centers():
+    """datetime64 coordinates get datetime64 segment centers (code review
+    r4: x0 was raw ns ticks mixed with dx in seconds)."""
+    n, seg = 128, 32
+    t0 = np.datetime64("2020-01-01T00:00:00", "ns")
+    tt = t0 + (np.arange(n) * 1_000_000_000).astype("timedelta64[ns]")
+    rng = np.random.RandomState(41)
+    da = LabeledArray(rng.randn(n).astype(np.float32), dims=["t"],
+                      coords={"t": tt}, name="u")
+    sg = xrft_tpu.spectrogram(da, dim="t", seglen=seg, segment_overlap=0)
+    centers = np.asarray(sg["t_segment"].values)
+    assert np.issubdtype(centers.dtype, np.datetime64)
+    want = t0 + (((np.arange(4) * seg + seg / 2) * 1e9)
+                 .astype("timedelta64[ns]"))
+    npt.assert_array_equal(centers, want)
+    assert centers.min() >= tt.min() and centers.max() <= tt.max()
+
+
+def test_stft_seglen_clamps_like_scipy():
+    """seglen > input length clamps with a warning instead of raising
+    (scipy's nperseg triage)."""
+    n = 100
+    rng = np.random.RandomState(43)
+    x = rng.randn(n)
+    da = LabeledArray(x.astype(np.float32), dims=["t"],
+                      coords={"t": np.arange(float(n))}, name="u")
+    with pytest.warns(UserWarning, match="greater than input length"):
+        got = xrft_tpu.welch(da, dim="t", seglen=256)
+    f_ref, p_ref = sps.welch(x, fs=1.0, window="hann", nperseg=256,
+                             detrend="constant")
+    npt.assert_allclose(got["freq_t"].values, f_ref)
+    npt.assert_allclose(np.asarray(got.values), p_ref, rtol=1e-5,
+                        atol=1e-8 * p_ref.max())
+
+
+def test_csd_zero_pads_shorter_input():
+    """Different-length csd inputs: the shorter is zero-padded to the
+    longer, like scipy (code review r4: previously a segment-count
+    conflict crash)."""
+    fs, nperseg = 128.0, 64
+    rng = np.random.RandomState(47)
+    x = rng.randn(512)
+    y = rng.randn(320)
+    da1 = LabeledArray(x.astype(np.float32), dims=["t"],
+                       coords={"t": np.arange(512) / fs}, name="u")
+    da2 = LabeledArray(y.astype(np.float32), dims=["t"],
+                       coords={"t": np.arange(320) / fs}, name="v")
+    got = xrft_tpu.csd(da1, da2, dim="t", seglen=nperseg)
+    f_ref, p_ref = sps.csd(x, y, fs=fs, window="hann", nperseg=nperseg,
+                           noverlap=nperseg // 2, detrend="constant")
+    npt.assert_allclose(got["freq_t"].values, f_ref)
+    npt.assert_allclose(np.asarray(got.values), p_ref, rtol=1e-4,
+                        atol=1e-7 * np.abs(p_ref).max())
+    # and the longer-second-input orientation
+    got2 = xrft_tpu.csd(da2, da1, dim="t", seglen=nperseg)
+    f2, p2 = sps.csd(y, x, fs=fs, window="hann", nperseg=nperseg,
+                     noverlap=nperseg // 2, detrend="constant")
+    npt.assert_allclose(np.asarray(got2.values), p2, rtol=1e-4,
+                        atol=1e-7 * np.abs(p2).max())
+
+
+def test_hp_impl_native_guard():
+    """Forcing hp_impl='native' without usable f64 raises instead of
+    silently truncating (code review r4)."""
+    import jax
+
+    from xrft_tpu.config import hp_impl
+    from xrft_tpu.highprec import _hp_native
+
+    with hp_impl("native"):
+        assert _hp_native()  # cpu + x64 in the test env: fine
+        jax.config.update("jax_enable_x64", False)
+        try:
+            with pytest.raises(ValueError, match="jax_enable_x64"):
+                _hp_native()
+        finally:
+            jax.config.update("jax_enable_x64", True)
+
+
 def test_csd_dim_mismatch_error():
     da1 = LabeledArray(np.random.rand(32), dims=["t"],
                        coords={"t": np.arange(32.0)})

@@ -501,9 +501,25 @@ def _hp_native(require_x64: bool = True) -> bool:
 
     if config.hp_impl == "emulate":
         return False
+    has_f64_backend = jax.default_backend() in ("cpu", "gpu", "cuda",
+                                                "rocm")
     if config.hp_impl == "native":
+        # forcing native without usable f64 would SILENTLY truncate the
+        # promoted planes to f32 (x64 off) or emit complex programs a
+        # TPU cannot execute (failing asynchronously) — refuse instead
+        if not has_f64_backend:
+            raise ValueError(
+                "config.hp_impl='native' requires a backend with real "
+                f"float64 (cpu/gpu); got {jax.default_backend()!r}"
+            )
+        if require_x64 and not bool(jax.config.jax_enable_x64):
+            raise ValueError(
+                "config.hp_impl='native' requires jax_enable_x64 for "
+                "the jit hp pipelines (without it the f64 promotion "
+                "silently truncates to f32)"
+            )
         return True
-    ok = jax.default_backend() in ("cpu", "gpu", "cuda", "rocm")
+    ok = has_f64_backend
     if require_x64:
         ok = ok and bool(jax.config.jax_enable_x64)
     return ok

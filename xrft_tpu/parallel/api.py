@@ -148,68 +148,38 @@ def sharded_coherence(da1: LabeledArray, da2: LabeledArray, mesh: Mesh,
 
 def sharded_welch(da: LabeledArray, mesh: Mesh, dim_shards: dict[str, str],
                   dim=None, seglen=None, segment_overlap=None,
+                  window="hann", detrend="constant", scaling="density",
+                  window_correction=True, real_dim="auto",
                   **kwargs) -> LabeledArray:
     """:func:`xrft_tpu.welch` over a device mesh: the per-segment PSD
     runs through the sharded estimator (segment axis = batch
     parallelism, zero collectives), the segment mean is a plain batch
-    op under GSPMD (compensated df64 under engine='hp')."""
-    from ..spectra import _is_real_input, _segment_mean, _stft_plan
+    op under GSPMD (compensated df64 under engine='hp').  Same scipy
+    defaults/semantics as the local namesake (shared driver)."""
+    def power_fn(d, **kw):
+        return sharded_power_spectrum(d, mesh, dim_shards, **kw)
 
-    da, dim, seglen, ov = _stft_plan(da, dim, seglen, segment_overlap, 2,
-                                     "welch")
-    kwargs.setdefault("window", "hann")
-    kwargs.setdefault("detrend", "constant")
-    kwargs.setdefault("window_correction", True)
-    real_dim = kwargs.pop("real_dim", "auto")
-    if real_dim == "auto":
-        real_dim = dim if _is_real_input(da) else None
-    ps = sharded_power_spectrum(
-        da, mesh, dim_shards, dim=[dim], real_dim=real_dim,
-        chunks_to_segments=True,
-        segment_overlap={dim: ov} if ov else None, **kwargs)
-    out = _segment_mean(ps, dim + "_segment")
-    out.name = f"{da.name}_welch" if da.name else None
-    return out
+    return spectra._welch_impl(power_fn, da, dim, seglen, segment_overlap,
+                               window, detrend, scaling,
+                               window_correction, real_dim, kwargs)
 
 
 def sharded_csd(da1: LabeledArray, da2: LabeledArray, mesh: Mesh,
                 dim_shards: dict[str, str], dim=None, seglen=None,
-                segment_overlap=None, **kwargs) -> LabeledArray:
+                segment_overlap=None, window="hann", detrend="constant",
+                scaling="density", window_correction=True,
+                real_dim="auto", true_phase=False,
+                **kwargs) -> LabeledArray:
     """:func:`xrft_tpu.csd` over a device mesh (scipy's conj(F(x))·F(y)
-    convention, like the local namesake)."""
-    import warnings as _warnings
+    convention and zero-padding of a shorter input, like the local
+    namesake — shared driver)."""
+    def cross_fn(d1, d2, **kw):
+        return sharded_cross_spectrum(d1, d2, mesh, dim_shards, **kw)
 
-    from ..ops import carray
-    from ..spectra import _is_real_input, _segment_mean, _stft_plan
-
-    if tuple(da1.dims) != tuple(da2.dims):
-        raise ValueError("da1 and da2 must have the same dimensions!")
-    da1, dim, seglen, ov = _stft_plan(da1, dim, seglen, segment_overlap, 2,
-                                      "csd")
-    if da2.sizes[dim] != da1.sizes[dim]:
-        with _warnings.catch_warnings():
-            _warnings.simplefilter("ignore")
-            da2, _, _, _ = _stft_plan(da2, dim, seglen, segment_overlap, 2,
-                                      "csd")
-    else:
-        da2 = da2.chunk({dim: seglen})
-    kwargs.setdefault("window", "hann")
-    kwargs.setdefault("detrend", "constant")
-    kwargs.setdefault("window_correction", True)
-    kwargs.setdefault("true_phase", False)
-    real_dim = kwargs.pop("real_dim", "auto")
-    if real_dim == "auto":
-        real_dim = dim if (_is_real_input(da1)
-                           and _is_real_input(da2)) else None
-    cs = sharded_cross_spectrum(
-        da1, da2, mesh, dim_shards, dim=[dim], real_dim=real_dim,
-        chunks_to_segments=True,
-        segment_overlap={dim: ov} if ov else None, **kwargs)
-    out = _segment_mean(cs, dim + "_segment")
-    out = out.copy(data=carray.conj(out.data))
-    out.name = (f"{da1.name}_{da2.name}_csd"
-                if da1.name and da2.name else None)
-    return out
+    return spectra._csd_impl(cross_fn, da1, da2, dim, seglen,
+                             segment_overlap, window, detrend, scaling,
+                             window_correction, real_dim, true_phase,
+                             kwargs)
 
 
 def sharded_isotropic_power_spectrum(da: LabeledArray, mesh: Mesh,

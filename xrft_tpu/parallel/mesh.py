@@ -69,14 +69,15 @@ def make_mesh(axis_shapes: dict[str, int | tuple[int, str]] | None = None
     # JAX interns Mesh objects (same devices + axis names -> same object),
     # so the links live in a side registry rather than as an attribute.
     # Interning means two independent make_mesh calls can hand back the
-    # SAME object: an unhinted call never overwrites an existing hinted
-    # registration (it expresses no topology opinion), and a hinted call
-    # that conflicts with a live registration warns before replacing it —
-    # the earlier handle's pencil plans would otherwise silently lose
-    # their DCN awareness.
-    prev = _MESH_LINKS.get(mesh)
-    if prev is not None and not had_hints:
+    # SAME object: an unhinted call registers NOTHING (it expresses no
+    # topology opinion — and a registration would also suppress the
+    # multi-slice warning in axis_links), and a hinted call that
+    # conflicts with a live registration warns before replacing it — the
+    # earlier handle's pencil plans would otherwise silently lose their
+    # DCN awareness.
+    if not had_hints:
         return mesh
+    prev = _MESH_LINKS.get(mesh)
     if prev is not None and prev != links:
         import warnings
 
@@ -107,8 +108,7 @@ def _hybrid_mesh(order, sizes, links) -> Mesh:
         # the virtual/CPU devices lack.  On a REAL multi-slice deployment a
         # silent fallback would put ICI axis groups across slice
         # boundaries, so warn loudly there instead of swallowing.
-        granules = {getattr(d, "slice_index", None) for d in jax.devices()}
-        if len(granules - {None}) > 1:
+        if len(_granules(jax.devices())) > 1:
             import warnings
 
             warnings.warn(
@@ -121,6 +121,8 @@ def _hybrid_mesh(order, sizes, links) -> Mesh:
 
 _MESH_LINKS: "weakref.WeakKeyDictionary[Mesh, dict[str, str]]" = \
     weakref.WeakKeyDictionary()
+# meshes already warned about missing hints on multi-slice device sets
+_WARNED_UNHINTED: "weakref.WeakSet[Mesh]" = weakref.WeakSet()
 
 
 def _granules(devices) -> set:
@@ -139,18 +141,21 @@ def axis_links(mesh: Mesh) -> dict[str, str]:
     pencil chains whose collectives may ride the DCN (VERDICT r3 item 6).
     """
     links = _MESH_LINKS.get(mesh)
-    if links is None and len(_granules(np.asarray(mesh.devices).flat)) > 1:
-        import warnings
+    if links is None and mesh not in _WARNED_UNHINTED:
+        n_granules = len(_granules(np.asarray(mesh.devices).flat))
+        if n_granules > 1:
+            import warnings
 
-        warnings.warn(
-            f"mesh spans {len(_granules(np.asarray(mesh.devices).flat))} "
-            f"device slices but has no topology hints registered: pencil "
-            f"plans will assume every axis is ICI, so collectives may ride "
-            f"the DCN. Build the mesh with xrft_tpu.parallel.make_mesh("
-            f"{{axis: (size, 'ici'|'dcn')}}) to register link types.",
-            RuntimeWarning, stacklevel=2)
-        # register the all-ICI default so the warning fires once per mesh
-        _MESH_LINKS[mesh] = {}
+            warnings.warn(
+                f"mesh spans {n_granules} device slices but has no "
+                f"topology hints registered: pencil plans will assume "
+                f"every axis is ICI, so collectives may ride the DCN. "
+                f"Build the mesh with xrft_tpu.parallel.make_mesh("
+                f"{{axis: (size, 'ici'|'dcn')}}) to register link types.",
+                RuntimeWarning, stacklevel=2)
+            # a dedicated warned-set (NOT an empty registration, which
+            # make_mesh would misread as real prior hints): once per mesh
+            _WARNED_UNHINTED.add(mesh)
     links = links or {}
     return {name: links.get(name, "ici") for name in mesh.shape}
 

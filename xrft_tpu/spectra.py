@@ -739,8 +739,8 @@ def spectrogram(da, dim=None, seglen=None, segment_overlap=None,
     ce.get_coordinate_spacing(coord, kwargs.get("spacing_tol", 1e-3))
     # Signed spacing of the STORED coordinate: segments slice storage
     # order, so a decreasing coordinate walks the centers downward.
+    # (dx is in SECONDS for time-like coords — see _segment_centers.)
     dx = float(ce.diff_coord(coord)[0])
-    x0 = float(np.asarray(coord.values, dtype=np.float64).ravel()[0])
 
     ps = power_spectrum(
         da, dim=[dim], real_dim=real_dim, scaling=scaling,
@@ -750,12 +750,33 @@ def spectrogram(da, dim=None, seglen=None, segment_overlap=None,
 
     segdim = dim + "_segment"
     nseg = ps.sizes[segdim]
-    centers = x0 + (np.arange(nseg) * hop + seglen / 2.0) * dx
+    centers = _segment_centers(coord, nseg, hop, seglen, dx)
     out = ps.assign_coords(
         {segdim: Coord(segdim, centers, attrs={"spacing": hop * dx},
                        name=segdim)})
     out.name = f"{da.name}_spectrogram" if da.name else None
     return out
+
+
+def _segment_centers(coord, nseg, hop, seglen, dx):
+    """Segment-center coordinate values in the coordinate's OWN type:
+    numeric coords get floats (scipy's t vector), datetime64 coords get
+    datetime64 centers, cftime coords get cftime objects — dx from
+    diff_coord is in seconds for the time-like cases, so mixing it with
+    raw datetime64 integer ticks would produce garbage centers."""
+    vals = np.asarray(coord.values)
+    offsets = (np.arange(nseg) * hop + seglen / 2.0) * dx  # coord units/s
+    if np.issubdtype(vals.dtype, np.datetime64):
+        t0 = vals.ravel()[0].astype("datetime64[ns]")
+        return t0 + np.round(offsets * 1e9).astype("timedelta64[ns]")
+    if ce._is_cftime(vals):
+        import datetime
+
+        t0 = vals.flat[0]
+        return np.array(
+            [t0 + datetime.timedelta(seconds=float(o)) for o in offsets],
+            dtype=object)
+    return float(vals.ravel()[0]) + offsets
 
 
 def _is_real_input(da) -> bool:
@@ -765,23 +786,30 @@ def _is_real_input(da) -> bool:
             and np.dtype(da.data.dtype).kind in "fiu")
 
 
+def _norm_1d_dim(da, dim, caller) -> str:
+    """Resolve the single sliding-segment dim (None -> last dim)."""
+    if dim is None:
+        return da.dims[-1]
+    if isinstance(dim, str):
+        return dim
+    dim = list(dim)
+    if len(dim) != 1:
+        raise ValueError(
+            f"{caller} is a 1-D sliding-segment estimate; got "
+            f"dim={dim!r} (transform other dims with power_spectrum)"
+        )
+    return dim[0]
+
+
 def _stft_plan(da, dim, seglen, segment_overlap, default_div, caller):
     """Shared sliding-segment prologue for the scipy-namesake estimators
     (spectrogram / welch / csd): dim normalization, segment-length
-    resolution (seglen= or a declared chunk), overlap resolution
-    (``None`` -> ``seglen // default_div``, scipy's per-function
-    default), and the scipy tail-drop for non-dividing lengths at zero
-    overlap.  Returns (da, dim, seglen, overlap_samples)."""
-    if dim is None:
-        dim = da.dims[-1]
-    if not isinstance(dim, str):
-        dim = list(dim)
-        if len(dim) != 1:
-            raise ValueError(
-                f"{caller} is a 1-D sliding-segment estimate; got "
-                f"dim={dim!r} (transform other dims with power_spectrum)"
-            )
-        dim = dim[0]
+    resolution (seglen= or a declared chunk, clamped to the input length
+    with a warning like scipy), overlap resolution (``None`` ->
+    ``seglen // default_div``, scipy's per-function default), and the
+    scipy tail-drop for non-dividing lengths at zero overlap.  Returns
+    (da, dim, seglen, overlap_samples)."""
+    dim = _norm_1d_dim(da, dim, caller)
 
     if seglen is not None:
         da = da.chunk({dim: int(seglen)})
@@ -792,6 +820,15 @@ def _stft_plan(da, dim, seglen, segment_overlap, default_div, caller):
             "one with da.chunk({dim: seglen}) first"
         )
     seglen = int(chunks[dim])
+    if seglen > da.sizes[dim]:
+        # scipy clamps nperseg to the input length with a warning rather
+        # than erroring (scipy.signal._spectral_py._triage_segments)
+        warnings.warn(
+            f"seglen = {seglen} is greater than input length = "
+            f"{da.sizes[dim]}, using seglen = {da.sizes[dim]}"
+        )
+        seglen = da.sizes[dim]
+        da = da.chunk({dim: seglen})
 
     ov = segment_overlap
     if ov is None:
@@ -848,6 +885,71 @@ def _segment_mean(la: LabeledArray, segdim: str) -> LabeledArray:
         attrs=dict(la.attrs), name=la.name)
 
 
+def _welch_impl(power_fn, da, dim, seglen, segment_overlap, window,
+                detrend, scaling, window_correction, real_dim,
+                kwargs) -> LabeledArray:
+    """Shared welch driver: ``power_fn`` is :func:`power_spectrum` for
+    the local namesake or a mesh-bound partial for
+    :func:`..parallel.sharded_welch`."""
+    da, dim, seglen, ov = _stft_plan(da, dim, seglen, segment_overlap, 2,
+                                     "welch")
+    if real_dim == "auto":
+        real_dim = dim if _is_real_input(da) else None
+    ps = power_fn(
+        da, dim=[dim], real_dim=real_dim, scaling=scaling,
+        window_correction=window_correction, window=window,
+        detrend=detrend, chunks_to_segments=True,
+        segment_overlap={dim: ov} if ov else None, **kwargs)
+    out = _segment_mean(ps, dim + "_segment")
+    out.name = f"{da.name}_welch" if da.name else None
+    return out
+
+
+def _zero_pad_to(da, dim, target) -> LabeledArray:
+    """Zero-pad ``da`` along ``dim`` to ``target`` samples with the
+    coordinate extrapolated (scipy.signal.csd pads the shorter input)."""
+    from .padding import pad as _pad
+
+    out = _pad(da, {dim: (0, target - da.sizes[dim])}, mode="constant")
+    # the pad is part of the estimate, not an unpad-able transform step
+    out.coords[dim].attrs.pop("pad_width", None)
+    return out
+
+
+def _csd_impl(cross_fn, da1, da2, dim, seglen, segment_overlap, window,
+              detrend, scaling, window_correction, real_dim, true_phase,
+              kwargs) -> LabeledArray:
+    """Shared csd driver (see :func:`_welch_impl`)."""
+    if tuple(da1.dims) != tuple(da2.dims):
+        raise ValueError("da1 and da2 must have the same dimensions!")
+    dim = _norm_1d_dim(da1, dim, "csd")
+    n1, n2 = da1.sizes[dim], da2.sizes[dim]
+    if n1 != n2:
+        # scipy zero-pads the shorter input to the longer one
+        if n1 < n2:
+            da1 = _zero_pad_to(da1, dim, n2)
+        else:
+            da2 = _zero_pad_to(da2, dim, n1)
+    da1, dim, seglen, ov = _stft_plan(da1, dim, seglen, segment_overlap, 2,
+                                      "csd")
+    if da2.sizes[dim] != da1.sizes[dim]:  # zero-overlap tail drop on da1
+        da2 = da2.isel({dim: slice(0, da1.sizes[dim])})
+    da2 = da2.chunk({dim: seglen})
+    if real_dim == "auto":
+        real_dim = dim if (_is_real_input(da1)
+                           and _is_real_input(da2)) else None
+    cs = cross_fn(
+        da1, da2, dim=[dim], real_dim=real_dim, scaling=scaling,
+        window_correction=window_correction, window=window,
+        detrend=detrend, chunks_to_segments=True, true_phase=true_phase,
+        segment_overlap={dim: ov} if ov else None, **kwargs)
+    out = _segment_mean(cs, dim + "_segment")
+    out = out.copy(data=carray.conj(out.data))
+    out.name = (f"{da1.name}_{da2.name}_csd"
+                if da1.name and da2.name else None)
+    return out
+
+
 def welch(da, dim=None, seglen=None, segment_overlap=None, window="hann",
           detrend="constant", scaling="density", window_correction=True,
           real_dim="auto", **kwargs) -> LabeledArray:
@@ -860,23 +962,15 @@ def welch(da, dim=None, seglen=None, segment_overlap=None, window="hann",
     scipy defaults throughout: ``segment_overlap=None`` means
     ``seglen // 2``, window='hann', detrend='constant',
     window_correction on, one-sided for real (float or integer) input;
-    trailing samples that don't fill a segment are dropped with a
-    warning.  ``segment_overlap`` accepts samples or a fraction.
-    Composes with ``engine='hp'`` (compensated segment averaging) and
-    extra batch dims.
+    trailing samples that don't fill a segment are dropped, and a
+    too-large ``seglen`` clamps to the input length, each with a warning
+    (scipy conventions).  ``segment_overlap`` accepts samples or a
+    fraction.  Composes with ``engine='hp'`` (compensated segment
+    averaging) and extra batch dims.
     """
-    da, dim, seglen, ov = _stft_plan(da, dim, seglen, segment_overlap, 2,
-                                     "welch")
-    if real_dim == "auto":
-        real_dim = dim if _is_real_input(da) else None
-    ps = power_spectrum(
-        da, dim=[dim], real_dim=real_dim, scaling=scaling,
-        window_correction=window_correction, window=window,
-        detrend=detrend, chunks_to_segments=True,
-        segment_overlap={dim: ov} if ov else None, **kwargs)
-    out = _segment_mean(ps, dim + "_segment")
-    out.name = f"{da.name}_welch" if da.name else None
-    return out
+    return _welch_impl(power_spectrum, da, dim, seglen, segment_overlap,
+                       window, detrend, scaling, window_correction,
+                       real_dim, kwargs)
 
 
 def csd(da1, da2, dim=None, seglen=None, segment_overlap=None,
@@ -886,38 +980,18 @@ def csd(da1, da2, dim=None, seglen=None, segment_overlap=None,
     """Cross power spectral density — the scipy.signal.csd convenience
     (Welch-averaged ``cross_spectrum``; beyond the reference).  Defaults
     mirror scipy: 50% overlap, hann, constant detrend, window
-    correction, one-sided iff BOTH inputs are real.  ``true_phase``
-    defaults False (both inputs share coordinates, so the lag phase
-    factors cancel exactly inside the conjugated product).
+    correction, one-sided iff BOTH inputs are real, and a shorter input
+    is zero-padded to the longer one.  ``true_phase`` defaults False
+    (both inputs share coordinates, so the lag phase factors cancel
+    exactly inside the conjugated product).
 
     Conjugate convention: scipy's ``Pxy = conj(F(x)) * F(y)`` while the
     reference's :func:`cross_spectrum` returns ``F(da1) * conj(F(da2))``
     (`/root/reference/xrft/xrft.py:825`); this scipy namesake follows
     scipy, i.e. ``csd(x, y) == conj(cross_spectrum-average)``."""
-    if tuple(da1.dims) != tuple(da2.dims):
-        raise ValueError("da1 and da2 must have the same dimensions!")
-    da1, dim, seglen, ov = _stft_plan(da1, dim, seglen, segment_overlap, 2,
-                                      "csd")
-    if da2.sizes[dim] != da1.sizes[dim]:
-        with warnings.catch_warnings():
-            warnings.simplefilter("ignore")
-            da2, _, _, _ = _stft_plan(da2, dim, seglen, segment_overlap, 2,
-                                      "csd")
-    else:
-        da2 = da2.chunk({dim: seglen})
-    if real_dim == "auto":
-        real_dim = dim if (_is_real_input(da1)
-                           and _is_real_input(da2)) else None
-    cs = cross_spectrum(
-        da1, da2, dim=[dim], real_dim=real_dim, scaling=scaling,
-        window_correction=window_correction, window=window,
-        detrend=detrend, chunks_to_segments=True, true_phase=true_phase,
-        segment_overlap={dim: ov} if ov else None, **kwargs)
-    out = _segment_mean(cs, dim + "_segment")
-    out = out.copy(data=carray.conj(out.data))
-    out.name = (f"{da1.name}_{da2.name}_csd"
-                if da1.name and da2.name else None)
-    return out
+    return _csd_impl(cross_spectrum, da1, da2, dim, seglen,
+                     segment_overlap, window, detrend, scaling,
+                     window_correction, real_dim, true_phase, kwargs)
 
 
 def _coherence_from_estimates(pxx, pyy, pxy, name1=None,
