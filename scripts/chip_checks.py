@@ -197,6 +197,24 @@ def main():
     check("spectrogram segment centers max err",
           np.abs(np.asarray(sg["t_segment"].values) - tt_sg).max(), 1e-9)
 
+    # 4a6. stft / istft (round 4): forward vs scipy.signal.stft and the
+    # NOLA-normalized overlap-add inverse round trip, compiled on the
+    # real chip (off-chip oracle: tests/test_stft.py)
+    fs_st, seg_st, n_st = 10.0, 64, 300
+    x_st = (np.sin(2 * np.pi * 1.3 * np.arange(n_st) / fs_st)
+            + 0.5 * rng.randn(n_st)).astype(np.float32)
+    da_st = LabeledArray(x_st, dims=["t"],
+                         coords={"t": np.arange(n_st) / fs_st}, name="u")
+    Z_st = xrft_tpu.stft(da_st, dim="t", seglen=seg_st)
+    _, _, Z_ref = sps.stft(x_st.astype(np.float64), fs=fs_st,
+                           nperseg=seg_st)
+    check("stft vs scipy rel err",
+          np.abs(np.asarray(Z_st.values) - Z_ref.T).max()
+          / np.abs(Z_ref).max(), 1e-6)
+    back_st = xrft_tpu.istft(Z_st)
+    check("istft roundtrip abs err",
+          np.abs(np.asarray(back_st.values) - x_st).max(), 1e-5)
+
     # 4a3. 3-D spherical-shell isotropize conservation on chip
     N3d = 64
     d3d = LabeledArray(rng.randn(N3d, N3d, N3d).astype(np.float32),
