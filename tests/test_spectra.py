@@ -983,3 +983,81 @@ def test_spectrogram_batch_dim_and_welch_consistency():
         detrend="constant").mean("t_segment")
     npt.assert_allclose(np.asarray(sg.mean("t_segment").values),
                         np.asarray(welch.values), rtol=1e-6)
+
+
+def test_periodogram_scipy_parity_default():
+    """periodogram() == scipy.signal.periodogram with scipy defaults
+    (boxcar window, constant detrend, density scaling, one-sided)."""
+    fs, n = 320.0, 256
+    rng = np.random.RandomState(41)
+    tt = np.arange(n) / fs
+    x = np.sin(2 * np.pi * 50 * tt) + 0.3 * rng.randn(n)
+    da = LabeledArray(x, dims=["t"], coords={"t": tt}, name="u")
+    got = xrft_tpu.periodogram(da)
+    f_ref, p_ref = sps.periodogram(x, fs=fs)
+    assert got.name == "u_periodogram"
+    assert got.dims == ("freq_t",)
+    npt.assert_allclose(got["freq_t"].values, f_ref)
+    npt.assert_allclose(np.asarray(got.values), p_ref, rtol=1e-9,
+                        atol=1e-12 * p_ref.max())
+
+
+@pytest.mark.parametrize("scaling", ["density", "spectrum"])
+def test_periodogram_window_and_scaling(scaling):
+    """Windowed periodogram matches scipy in both scaling conventions."""
+    fs, n = 100.0, 200
+    rng = np.random.RandomState(43)
+    x = rng.randn(n)
+    da = LabeledArray(x, dims=["t"], coords={"t": np.arange(n) / fs})
+    got = xrft_tpu.periodogram(da, window="hann", scaling=scaling)
+    f_ref, p_ref = sps.periodogram(x, fs=fs, window="hann",
+                                   scaling=scaling)
+    npt.assert_allclose(got["freq_t"].values, f_ref)
+    npt.assert_allclose(np.asarray(got.values), p_ref, rtol=1e-9,
+                        atol=1e-12 * p_ref.max())
+
+
+def test_periodogram_detrend_false_and_linear():
+    """detrend=False/'linear' map to scipy's detrend= conventions."""
+    fs, n = 64.0, 128
+    rng = np.random.RandomState(47)
+    x = rng.randn(n) + 0.05 * np.arange(n)
+    da = LabeledArray(x, dims=["t"], coords={"t": np.arange(n) / fs})
+    for detrend in (False, "linear"):
+        got = xrft_tpu.periodogram(da, detrend=detrend)
+        f_ref, p_ref = sps.periodogram(x, fs=fs, detrend=detrend)
+        npt.assert_allclose(np.asarray(got.values), p_ref, rtol=1e-9,
+                            atol=1e-12 * p_ref.max())
+
+
+def test_periodogram_complex_two_sided_and_integer_one_sided():
+    """Complex input -> two-sided (scipy return_onesided=False order via
+    shift=False); integer input counts as real -> one-sided."""
+    fs, n = 32.0, 64
+    rng = np.random.RandomState(53)
+    z = rng.randn(n) + 1j * rng.randn(n)
+    da = LabeledArray(z, dims=["t"], coords={"t": np.arange(n) / fs})
+    got = xrft_tpu.periodogram(da, shift=False)
+    f_ref, p_ref = sps.periodogram(z, fs=fs, return_onesided=False)
+    npt.assert_allclose(got["freq_t"].values, f_ref)
+    npt.assert_allclose(np.asarray(got.values), p_ref, rtol=1e-9,
+                        atol=1e-12 * p_ref.max())
+
+    di = LabeledArray((10 * rng.randn(n)).astype(np.int32), dims=["t"],
+                      coords={"t": np.arange(n) / fs})
+    one_sided = xrft_tpu.periodogram(di)
+    assert one_sided.sizes["freq_t"] == n // 2 + 1
+
+
+def test_periodogram_batch_dim_rides_along():
+    """Non-transform dims pass through untouched (dask-chunk parity)."""
+    fs, n = 50.0, 40
+    rng = np.random.RandomState(59)
+    x = rng.randn(3, n)
+    da = LabeledArray(x, dims=["z", "t"],
+                      coords={"z": range(3), "t": np.arange(n) / fs})
+    got = xrft_tpu.periodogram(da, dim="t")
+    assert got.dims == ("z", "freq_t")
+    f_ref, p_ref = sps.periodogram(x, fs=fs, axis=-1)
+    npt.assert_allclose(np.asarray(got.values), p_ref, rtol=1e-9,
+                        atol=1e-12 * p_ref.max())

@@ -12,8 +12,8 @@ from .config import complex_mode, config, fft_engine, set_fft_engine  # noqa: F4
 from .labeled import Coord, LabeledArray  # noqa: F401
 from .transform import dft, fft, idft, ifft  # noqa: F401
 from .spectra import (  # noqa: F401
-    coherence, cross_phase, cross_spectrum, csd, power_spectrum,
-    spectrogram, welch,
+    coherence, cross_phase, cross_spectrum, csd, periodogram,
+    power_spectrum, spectrogram, welch,
 )
 from .isotropic import (  # noqa: F401
     fit_loglog,
@@ -35,7 +35,7 @@ from .xarray_compat import from_xarray, to_xarray, xr_boundary  # noqa: F401
 for _name in (
     "fft", "ifft", "dft", "idft", "power_spectrum", "cross_spectrum",
     "cross_phase", "coherence", "spectrogram", "welch", "csd",
-    "stft", "istft", "isotropize",
+    "periodogram", "stft", "istft", "isotropize",
     "isotropic_power_spectrum", "isotropic_cross_spectrum", "pad", "unpad",
     "detrend", "fft64", "ifft64",
 ):

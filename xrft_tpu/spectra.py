@@ -23,7 +23,7 @@ from .ops import carray
 from .transform import _dim_coord, fft, _real_flag_warning
 
 __all__ = ["power_spectrum", "cross_spectrum", "cross_phase", "coherence",
-           "spectrogram", "welch", "csd"]
+           "spectrogram", "welch", "csd", "periodogram"]
 
 
 def _window_correction_factor(da, dim, scaling, window):
@@ -992,6 +992,35 @@ def csd(da1, da2, dim=None, seglen=None, segment_overlap=None,
     return _csd_impl(cross_spectrum, da1, da2, dim, seglen,
                      segment_overlap, window, detrend, scaling,
                      window_correction, real_dim, true_phase, kwargs)
+
+
+def periodogram(da, dim=None, window=None, detrend="constant",
+                scaling="density", window_correction=True,
+                real_dim="auto", **kwargs) -> LabeledArray:
+    """Single-segment PSD estimate — the scipy.signal.periodogram
+    convenience over :func:`power_spectrum` (beyond the reference, which
+    exposes only the raw estimator; its scipy.periodogram parity is
+    pinned at `/root/reference/xrft/tests/test_xrft.py:400-404`).
+
+    scipy defaults: no window (boxcar), ``detrend='constant'``
+    (``False``/``None`` disables), density scaling, one-sided for real —
+    float or integer — input (``real_dim='auto'``; pass a dim name or
+    ``None`` to force).  ``window_correction`` applies only when a window
+    is requested (the boxcar correction is exactly 1).  Unlike scipy
+    there is no ``nfft``: zero-pad explicitly with :func:`xrft_tpu.pad`.
+    """
+    dim = _norm_1d_dim(da, dim, "periodogram")
+    if real_dim == "auto":
+        real_dim = dim if _is_real_input(da) else None
+    if detrend is False:
+        detrend = None
+    ps = power_spectrum(
+        da, dim=[dim], real_dim=real_dim, scaling=scaling,
+        window=window, detrend=detrend,
+        window_correction=window_correction and window is not None,
+        **kwargs)
+    ps.name = f"{da.name}_periodogram" if da.name else None
+    return ps
 
 
 def _coherence_from_estimates(pxx, pyy, pxy, name1=None,

@@ -108,7 +108,8 @@ class XrftAccessor:
 
     _METHODS = (
         "fft", "ifft", "dft", "idft", "power_spectrum", "cross_spectrum",
-        "cross_phase", "coherence", "spectrogram", "isotropize",
+        "cross_phase", "coherence", "spectrogram", "welch", "csd",
+        "periodogram", "stft", "istft", "isotropize",
         "isotropic_power_spectrum", "isotropic_cross_spectrum",
         "pad", "unpad", "detrend", "fft64", "ifft64",
     )
