@@ -69,12 +69,21 @@ class _Config:
     # many independent chunks so XLA's latency-hiding scheduler can overlap
     # chunk i's collective with chunk i-1's FFT.  1 = no chunking.
     pencil_overlap_chunks: int = 1
-    # Fused Pallas four-step FFT kernel: "never" (default — the Mosaic
-    # build in this toolchain rejects the kernel's lane-splitting reshapes
-    # with "infer-vector-layout: unsupported shape cast"), "auto" (TPU,
+    # Fused Pallas four-step FFT kernel: "never" (default), "auto" (TPU,
     # f32, N=n1*n2 with n1,n2<=256), or "always" (tests: interpret mode
-    # on CPU).  The kernel itself is validated in interpret mode; flip to
-    # "auto" when the toolchain gains 3-D vector layout support.
+    # on CPU).  Round-4 reformulation (caller-side digit bitcasts, 3-D
+    # block refs) COMPILES AND RUNS on this Mosaic toolchain — and
+    # measures a NET LOSS on the flagship's hot complex axis
+    # (32768x4096: best fused 34.8 ms vs stacked engine 21.3;
+    # scripts/perf_pallas_fftfuse.py).  Two measured limiters, both
+    # toolchain-level: (a) one HBM side of every (n1, n2) split pays a
+    # minor-dim-<128 DMA tiling penalty (n1*n2=4096 cannot give both
+    # sides a 128 minor: 41.7/34.8/48.5 ms for (128,32)/(64,64)/
+    # (32,128)); (b) the kernel's 6-pass HIGHEST matmuls do not overlap
+    # with DMA under Mosaic (DEFAULT precision saves 14 ms; XLA's dot
+    # emitter hides the same passes for free).  Independent confirmation
+    # of the round-4 dot-datapath floor proof.  Default stays "never";
+    # re-test on toolchain updates.
     pallas_fft: str = "never"
     # Large-grid binned aggregation (ops/binning.py, points x bins above
     # the one-hot threshold): "auto" = Pallas on-the-fly one-hot kernel on
