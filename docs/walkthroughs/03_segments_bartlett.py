@@ -164,6 +164,23 @@ def main():
                         atol=1e-6 * p_s.max())
 
     # %% [markdown]
+    # The family is completed by the single-segment `periodogram` and
+    # the analytic-signal pair `hilbert`/`envelope` (all scipy
+    # namesakes; the mask and transform pair stage into one XLA
+    # program).
+
+    # %%
+    pg = xrft_tpu.periodogram(xa, dim="time")
+    f_p, p_p = sps.periodogram(np.asarray(xa.values), fs=fs)
+    npt.assert_allclose(np.asarray(pg.values), p_p, rtol=1e-4,
+                        atol=1e-6 * p_p.max())
+
+    env = xrft_tpu.envelope(xa, dim="time")
+    env_ref = np.abs(sps.hilbert(np.asarray(xa.values, np.float64)))
+    npt.assert_allclose(np.asarray(env.values), env_ref, rtol=1e-4,
+                        atol=1e-6 * env_ref.max())
+
+    # %% [markdown]
     # Inverse transforms segment too (each freq chunk is an independent
     # inverse transform) — a capability pinned by
     # tests/test_transform.py::test_ifft_chunks_to_segments.

@@ -331,6 +331,27 @@ def main():
     check("hp config4 cross_spectrum rel err",
           np.abs(cs.values - refc).max() / np.abs(refc).max(), 1e-10)
 
+    # analytic signal + periodogram namesake (round-4 additions):
+    # scipy oracles on the chip's split-complex engine
+    import scipy.signal as sps
+
+    nh = 4096
+    xh = rng.randn(8, nh).astype(np.float32)
+    dh = LabeledArray(xh, dims=["z", "t"],
+                      coords={"z": np.arange(8) * 1.0,
+                              "t": np.arange(nh) * 0.01})
+    refh = sps.hilbert(xh.astype(np.float64), axis=-1)
+    sc = np.abs(refh).max()
+    got = to_numpy(xrft_tpu.hilbert(dh, dim="t").data)
+    check("hilbert vs scipy rel err", np.abs(got - refh).max() / sc, 1e-6)
+    env = np.asarray(xrft_tpu.envelope(dh, dim="t").values)
+    check("envelope vs scipy rel err",
+          np.abs(env - np.abs(refh)).max() / sc, 1e-6)
+    fp, pp = sps.periodogram(xh, fs=100.0, window="hann", axis=-1)
+    gp = np.asarray(xrft_tpu.periodogram(dh, dim="t", window="hann").values)
+    check("periodogram vs scipy rel err",
+          np.abs(gp - pp).max() / pp.max(), 1e-6)
+
     sys.exit(1 if failures else 0)
 
 

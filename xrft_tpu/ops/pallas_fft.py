@@ -341,8 +341,12 @@ def pallas_fft_last(x, sign: int = -1, interpret: bool | None = None,
     else:
         kern = partial(_kernel, complex_in, R, n1, n2)
     cparams = None
-    if not interpret and (dimension_semantics is not None
-                          or vmem_limit_bytes is not None):
+    if not interpret:
+        if vmem_limit_bytes is None:
+            # the toolchain's default VMEM cap rejects row blocks >= 32
+            # at n = 4096 (measured: raising it is required and free —
+            # scripts/perf_pallas_fftfuse.py round 2)
+            vmem_limit_bytes = 100 * 1024 * 1024
         cparams = pltpu.CompilerParams(
             dimension_semantics=dimension_semantics,
             vmem_limit_bytes=vmem_limit_bytes)

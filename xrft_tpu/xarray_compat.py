@@ -109,7 +109,7 @@ class XrftAccessor:
     _METHODS = (
         "fft", "ifft", "dft", "idft", "power_spectrum", "cross_spectrum",
         "cross_phase", "coherence", "spectrogram", "welch", "csd",
-        "periodogram", "stft", "istft", "isotropize",
+        "periodogram", "stft", "istft", "hilbert", "envelope", "isotropize",
         "isotropic_power_spectrum", "isotropic_cross_spectrum",
         "pad", "unpad", "detrend", "fft64", "ifft64",
     )
