@@ -23,6 +23,7 @@ from .isotropic import (  # noqa: F401
 )
 from .stft import istft, stft  # noqa: F401
 from .analytic import envelope, hilbert  # noqa: F401
+from .trig import dct, dst, idct, idst  # noqa: F401
 from .detrend import detrend  # noqa: F401
 from .padding import pad, unpad  # noqa: F401
 from .highprec import fft64, ifft64  # noqa: F401
@@ -36,7 +37,8 @@ from .xarray_compat import from_xarray, to_xarray, xr_boundary  # noqa: F401
 for _name in (
     "fft", "ifft", "dft", "idft", "power_spectrum", "cross_spectrum",
     "cross_phase", "coherence", "spectrogram", "welch", "csd",
-    "periodogram", "stft", "istft", "hilbert", "envelope", "isotropize",
+    "periodogram", "stft", "istft", "hilbert", "envelope",
+    "dct", "idct", "dst", "idst", "isotropize",
     "isotropic_power_spectrum", "isotropic_cross_spectrum", "pad", "unpad",
     "detrend", "fft64", "ifft64",
 ):

@@ -109,7 +109,8 @@ class XrftAccessor:
     _METHODS = (
         "fft", "ifft", "dft", "idft", "power_spectrum", "cross_spectrum",
         "cross_phase", "coherence", "spectrogram", "welch", "csd",
-        "periodogram", "stft", "istft", "hilbert", "envelope", "isotropize",
+        "periodogram", "stft", "istft", "hilbert", "envelope",
+        "dct", "idct", "dst", "idst", "isotropize",
         "isotropic_power_spectrum", "isotropic_cross_spectrum",
         "pad", "unpad", "detrend", "fft64", "ifft64",
     )
