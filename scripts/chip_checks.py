@@ -370,6 +370,20 @@ def main():
     check("dct/idct round-trip rel err",
           np.abs(rt - xh).max() / np.abs(xh).max(), 1e-5)
 
+    # chirp-Z / zoom FFT on the split-complex engine vs scipy
+    # |log w| * max(n,m)^2/2 must stay inside f32's exponent range
+    mz, wz, az = 512, (1 - 1e-9) * np.exp(-2j * np.pi / 512), np.exp(0.2j)
+    gz = np.asarray(xrft_tpu.czt(dh, dim="t", m=mz, w=wz, a=az).values)
+    wantz = sps.czt(xh.astype(np.float64), m=mz, w=wz, a=az, axis=-1)
+    check("czt spiral vs scipy rel err",
+          np.abs(gz - wantz).max() / np.abs(wantz).max(), 1e-5)
+    gzm = np.asarray(
+        xrft_tpu.zoom_fft(dh, [5.0, 20.0], m=512, dim="t").values)
+    wantm = sps.zoom_fft(xh.astype(np.float64), [5.0, 20.0], m=512,
+                         fs=100.0, axis=-1)
+    check("zoom_fft vs scipy rel err",
+          np.abs(gzm - wantm).max() / np.abs(wantm).max(), 1e-5)
+
     sys.exit(1 if failures else 0)
 
 
