@@ -384,6 +384,36 @@ def main():
     check("zoom_fft vs scipy rel err",
           np.abs(gzm - wantm).max() / np.abs(wantm).max(), 1e-5)
 
+    # Fourier resampling vs scipy (up and down, even/odd, windowed)
+    gr = np.asarray(xrft_tpu.resample(dh, 6144, dim="t").values)
+    wantr = sps.resample(xh.astype(np.float64), 6144, axis=-1)
+    check("resample up 4096->6144 rel err",
+          np.abs(gr - wantr).max() / np.abs(wantr).max(), 1e-5)
+    grd = np.asarray(
+        xrft_tpu.resample(dh, 1000, dim="t", window="hann").values)
+    wantrd = sps.resample(xh.astype(np.float64), 1000, window="hann",
+                          axis=-1)
+    check("resample down windowed rel err",
+          np.abs(grd - wantrd).max() / np.abs(wantrd).max(), 1e-5)
+
+    # FFT convolution / correlation vs scipy on a batched workload
+    kh = rng.randn(129).astype(np.float32)
+    dk = LabeledArray(kh, dims=["t"], coords={"t": np.arange(129) * 0.01})
+    gc = np.asarray(xrft_tpu.fftconvolve(dh, dk, dims="t",
+                                         mode="same").values)
+    wantc = np.stack([sps.fftconvolve(row.astype(np.float64),
+                                      kh.astype(np.float64), mode="same")
+                      for row in xh])
+    check("fftconvolve same rel err",
+          np.abs(gc - wantc).max() / np.abs(wantc).max(), 1e-5)
+    gx = np.asarray(xrft_tpu.correlate(dh, dk, dims="t",
+                                       mode="valid").values)
+    wantx = np.stack([sps.correlate(row.astype(np.float64),
+                                    kh.astype(np.float64), mode="valid")
+                      for row in xh])
+    check("correlate valid rel err",
+          np.abs(gx - wantx).max() / np.abs(wantx).max(), 1e-5)
+
     sys.exit(1 if failures else 0)
 
 

@@ -25,6 +25,8 @@ from .stft import istft, stft  # noqa: F401
 from .analytic import envelope, hilbert  # noqa: F401
 from .trig import dct, dst, idct, idst  # noqa: F401
 from .czt import czt, zoom_fft  # noqa: F401
+from .resample import resample  # noqa: F401
+from .convolve import correlate, fftconvolve  # noqa: F401
 from .detrend import detrend  # noqa: F401
 from .padding import pad, unpad  # noqa: F401
 from .highprec import fft64, ifft64  # noqa: F401
@@ -39,7 +41,8 @@ for _name in (
     "fft", "ifft", "dft", "idft", "power_spectrum", "cross_spectrum",
     "cross_phase", "coherence", "spectrogram", "welch", "csd",
     "periodogram", "stft", "istft", "hilbert", "envelope",
-    "dct", "idct", "dst", "idst", "czt", "zoom_fft", "isotropize",
+    "dct", "idct", "dst", "idst", "czt", "zoom_fft", "resample",
+    "fftconvolve", "correlate", "isotropize",
     "isotropic_power_spectrum", "isotropic_cross_spectrum", "pad", "unpad",
     "detrend", "fft64", "ifft64",
 ):

@@ -1,0 +1,180 @@
+"""FFT-based N-D convolution and cross-correlation along named dims.
+
+Beyond the reference (xrft has no convolution; its surface stops at
+spectral estimates, ``/root/reference/xrft/xrft.py:17-29``) — matching
+``scipy.signal.fftconvolve`` / ``scipy.signal.correlate(method='fft')``
+semantics: linear convolution by the convolution theorem with ``full``/
+``same``/``valid`` output cropping, real-in/real-out, and correlation as
+convolution with the conjugate-reversed second operand.
+
+TPU-first shape: both operands are zero-padded to the next power of two
+>= ``n1 + n2 - 1`` per dim (the engine's fastest plan), transformed with
+ONE multi-axis engine fft each, multiplied, and inverse-transformed —
+three engine transforms total regardless of ndim, all static shapes,
+jit-traceable end to end, split complex on TPU.  The crop offsets are
+host constants.
+
+Coordinate-aware beyond scipy: when both operands carry valid equispaced
+coordinates with matching spacing on a transform dim, the output carries
+the physically meaningful grid — support ``x0 + y0 + k*dx`` for
+convolution, lag ``x0 - y0 + (k - (n2-1))*dx`` for correlation
+(mode-cropped consistently) — so ``correlate(x, x)`` peaks at lag 0.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from . import coords as ce
+from .labeled import Coord, LabeledArray
+from .ops import carray, fft_core
+
+__all__ = ["fftconvolve", "correlate"]
+
+
+def _norm_dims(da, db, dims, caller):
+    if dims is None:
+        out = [d for d in da.dims if d in db.dims]
+        if not out:
+            raise ValueError(f"{caller}: the operands share no dims")
+        return out
+    if isinstance(dims, str):
+        dims = [dims]
+    dims = list(dims)
+    for d in dims:
+        if d not in da.dims or d not in db.dims:
+            raise ValueError(
+                f"{caller}: dim {d!r} must be present in both operands")
+    return dims
+
+
+def _align_second(da, db, caller):
+    """Return db's data permuted/expanded to da's dim order (size-1 axes
+    for dims db lacks).  Extra dims in db are not allowed."""
+    extra = [d for d in db.dims if d not in da.dims]
+    if extra:
+        raise ValueError(
+            f"{caller}: second operand has dims {extra} not present in "
+            "the first; transpose/rename it first")
+    perm = [db.dims.index(d) for d in da.dims if d in db.dims]
+    data = carray.transpose(db.data, perm) if perm != list(
+        range(len(perm))) else db.data
+    shape = [db.sizes[d] if d in db.dims else 1 for d in da.dims]
+    return carray.reshape(data, shape)
+
+
+def _crop_window(mode, n1, n2, caller):
+    """Start offset and length of the mode crop of the full (n1+n2-1)
+    linear result, per scipy.signal conventions."""
+    full = n1 + n2 - 1
+    if mode == "full":
+        return 0, full
+    if mode == "same":
+        return (full - n1) // 2, n1
+    if mode == "valid":
+        return min(n1, n2) - 1, max(n1, n2) - min(n1, n2) + 1
+    raise ValueError(
+        f"{caller}: mode must be 'full', 'same' or 'valid', got {mode!r}")
+
+
+def _fft_convolve(u, v, axes, sizes1, sizes2, engine):
+    """ifft(fft(u)*fft(v)) zero-padded to the next power of two >=
+    n1+n2-1 per axis; returns the padded result (crop at the caller)."""
+    pad_u = [(0, 0)] * u.ndim
+    pad_v = [(0, 0)] * v.ndim
+    for ax, n1, n2 in zip(axes, sizes1, sizes2):
+        L = 1 << int(np.ceil(np.log2(max(n1 + n2 - 1, 1))))
+        pad_u[ax] = (0, L - n1)
+        pad_v[ax] = (0, L - v.shape[ax])
+    U = fft_core.fftn(carray.pad(u, pad_u), axes, engine=engine)
+    V = fft_core.fftn(carray.pad(v, pad_v), axes, engine=engine)
+    return fft_core.ifftn(carray.multiply(U, V), axes, engine=engine)
+
+
+def _conv_like(da, db, dims, mode, engine, caller, reverse):
+    dims = _norm_dims(da, db, dims, caller)
+    axes = [da.dims.index(d) for d in dims]
+    sizes1 = [da.sizes[d] for d in dims]
+    sizes2 = [db.sizes[d] for d in dims]
+    for d, n in zip(dims, sizes2):
+        if d in db.coords and db.coords[d].values.shape[0] != n:
+            raise ValueError(f"{caller}: inconsistent coord on {d!r}")
+    for d in da.dims:
+        if d in db.dims and d not in dims and da.sizes[d] != db.sizes[d]:
+            raise ValueError(
+                f"{caller}: non-transform dim {d!r} has mismatched sizes "
+                f"{da.sizes[d]} != {db.sizes[d]}")
+    if mode == "valid" and not (all(a >= b for a, b in zip(sizes1, sizes2))
+                                or all(b >= a
+                                       for a, b in zip(sizes1, sizes2))):
+        raise ValueError(
+            f"{caller}: for mode='valid' one operand must be at least as "
+            "large as the other in every transform dim")
+
+    real_out = (not carray.is_complex(da.data)
+                and not carray.is_complex(db.data))
+    v = _align_second(da, db, caller)
+    if reverse:
+        v = carray.conj(carray.flip(v, tuple(axes))) \
+            if carray.is_complex(v) else carray.flip(v, tuple(axes))
+    y = _fft_convolve(da.data, v, axes, sizes1, sizes2, engine)
+
+    key = [slice(None)] * y.ndim
+    starts = {}
+    for ax, d, n1, n2 in zip(axes, dims, sizes1, sizes2):
+        start, length = _crop_window(mode, n1, n2, caller)
+        key[ax] = slice(start, start + length)
+        starts[d] = (start, length)
+    y = carray.getitem(y, tuple(key))
+    if real_out:
+        y = carray.real(y)
+
+    coords = {k: c.copy() for k, c in da.coords.items()
+              if not any(d in c.dims for d in dims)}
+    for d, n2 in zip(dims, sizes2):
+        start, length = starts[d]
+        ca, cb = da.coords.get(d), db.coords.get(d)
+        if (ca is not None and cb is not None
+                and ce.is_valid_fft_coord(ca) and ce.is_valid_fft_coord(cb)
+                and np.issubdtype(np.asarray(ca.values).dtype, np.number)
+                and np.issubdtype(np.asarray(cb.values).dtype, np.number)):
+            dxa = ce.diff_coord(ca)[0]
+            dxb = ce.diff_coord(cb)[0]
+            if np.isclose(dxa, dxb, rtol=1e-6):
+                x0 = np.asarray(ca.values).flat[0]
+                y0 = np.asarray(cb.values).flat[0]
+                if reverse:  # correlation lag: x grid minus y grid
+                    origin = x0 - y0 - (n2 - 1) * dxa
+                else:  # convolution support: sum of the grids' origins
+                    origin = x0 + y0
+                coords[d] = Coord(
+                    (d,), origin + (start + np.arange(length)) * dxa,
+                    {"spacing": dxa}, d)
+    return LabeledArray(y, dims=list(da.dims), coords=coords,
+                        attrs=dict(da.attrs), name=da.name)
+
+
+def fftconvolve(da, db, dims=None, mode="full", engine=None) -> LabeledArray:
+    """N-D linear convolution of ``da`` with ``db`` along ``dims``
+    (default: all shared dims) — ``scipy.signal.fftconvolve``.  ``db``'s
+    dims must be a subset of ``da``'s; missing dims broadcast.  ``mode``
+    is scipy's ``full`` (n1+n2-1) / ``same`` (n1, centered) / ``valid``
+    (no-edge overlap).  Real inputs give real output.  When both operands
+    have matching-spacing coordinates on a dim, the output coordinate is
+    the convolution support grid ``x0 + y0 + k*dx``; otherwise the dim is
+    index-based (coords dropped), like scipy.
+    """
+    return _conv_like(da, db, dims, mode, engine, "fftconvolve",
+                      reverse=False)
+
+
+def correlate(da, db, dims=None, mode="full", engine=None) -> LabeledArray:
+    """N-D cross-correlation ``sum da[t+k] * conj(db[t])`` along ``dims``
+    — ``scipy.signal.correlate(method='fft')``: convolution with the
+    conjugate-reversed second operand.  With matching-spacing coordinates
+    the output carries the physical lag grid ``x0 - y0 + (k-(n2-1))*dx``
+    (``correlate(x, x)`` peaks at lag 0); otherwise index-based, like
+    scipy.
+    """
+    return _conv_like(da, db, dims, mode, engine, "correlate",
+                      reverse=True)

@@ -110,7 +110,8 @@ class XrftAccessor:
         "fft", "ifft", "dft", "idft", "power_spectrum", "cross_spectrum",
         "cross_phase", "coherence", "spectrogram", "welch", "csd",
         "periodogram", "stft", "istft", "hilbert", "envelope",
-        "dct", "idct", "dst", "idst", "czt", "zoom_fft", "isotropize",
+        "dct", "idct", "dst", "idst", "czt", "zoom_fft", "resample",
+        "fftconvolve", "correlate", "isotropize",
         "isotropic_power_spectrum", "isotropic_cross_spectrum",
         "pad", "unpad", "detrend", "fft64", "ifft64",
     )
