@@ -414,6 +414,21 @@ def main():
     check("correlate valid rel err",
           np.abs(gx - wantx).max() / np.abs(wantx).max(), 1e-5)
 
+    # Generalized Lomb-Scargle (one MXU matmul) vs scipy on an uneven
+    # grid, batched where scipy loops
+    tun = np.sort(rng.uniform(0.0, 30.0, 1024)).astype(np.float64)
+    yun = (np.cos(2.3 * tun) + 0.3 * rng.randn(8, 1024)).astype(np.float32)
+    dun = LabeledArray(yun, dims=["z", "t"],
+                       coords={"z": np.arange(8) * 1.0, "t": tun})
+    wfr = np.linspace(0.2, 6.0, 512)
+    gls = np.asarray(xrft_tpu.lombscargle(dun, wfr, dim="t",
+                                          floating_mean=True).values)
+    wantls = np.stack([sps.lombscargle(tun, row.astype(np.float64), wfr,
+                                       floating_mean=True)
+                       for row in yun])
+    check("lombscargle vs scipy rel err",
+          np.abs(gls - wantls).max() / np.abs(wantls).max(), 1e-4)
+
     sys.exit(1 if failures else 0)
 
 
