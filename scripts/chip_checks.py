@@ -429,6 +429,20 @@ def main():
     check("lombscargle vs scipy rel err",
           np.abs(gls - wantls).max() / np.abs(wantls).max(), 1e-4)
 
+    # Fast Hankel transform (FFTLog on the engine rfft/irfft) vs scipy
+    import scipy.fft as sfft
+
+    rh = np.logspace(-4.0, 2.0, 2048)
+    dlnh = float(np.log(rh[1] / rh[0]))
+    ah = (rh * np.exp(-(rh ** 2) / 2) * (1 + 0.1 * rng.randn(8, 2048))
+          ).astype(np.float32)
+    dah = LabeledArray(ah, dims=["z", "r"],
+                       coords={"z": np.arange(8) * 1.0, "r": rh})
+    gfht = np.asarray(xrft_tpu.fht(dah, mu=0.0, dim="r").values)
+    wantfht = sfft.fht(ah.astype(np.float64), dlnh, mu=0.0)
+    check("fht vs scipy rel err",
+          np.abs(gfht - wantfht).max() / np.abs(wantfht).max(), 1e-5)
+
     sys.exit(1 if failures else 0)
 
 
