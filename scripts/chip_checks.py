@@ -443,6 +443,15 @@ def main():
     check("fht vs scipy rel err",
           np.abs(gfht - wantfht).max() / np.abs(wantfht).max(), 1e-5)
 
+    # overlap-add convolution (blocked engine FFT) vs scipy
+    goa = np.asarray(xrft_tpu.oaconvolve(dh, dk, dims="t",
+                                         mode="same").values)
+    wantoa = np.stack([sps.oaconvolve(row.astype(np.float64),
+                                      kh.astype(np.float64), mode="same")
+                       for row in xh])
+    check("oaconvolve same rel err",
+          np.abs(goa - wantoa).max() / np.abs(wantoa).max(), 1e-5)
+
     sys.exit(1 if failures else 0)
 
 

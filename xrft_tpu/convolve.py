@@ -29,7 +29,7 @@ from . import coords as ce
 from .labeled import Coord, LabeledArray
 from .ops import carray, fft_core
 
-__all__ = ["fftconvolve", "correlate"]
+__all__ = ["fftconvolve", "oaconvolve", "correlate"]
 
 
 def _norm_dims(da, db, dims, caller):
@@ -129,6 +129,15 @@ def _conv_like(da, db, dims, mode, engine, caller, reverse):
     if real_out:
         y = carray.real(y)
 
+    coords = _conv_coords(da, db, dims, sizes2, starts, reverse)
+    return LabeledArray(y, dims=list(da.dims), coords=coords,
+                        attrs=dict(da.attrs), name=da.name)
+
+
+def _conv_coords(da, db, dims, sizes2, starts, reverse):
+    """Output coords: pass-through off-transform coords plus, where both
+    operands carry matching-spacing numeric grids, the physical support
+    (convolution) or lag (correlation) grid."""
     coords = {k: c.copy() for k, c in da.coords.items()
               if not any(d in c.dims for d in dims)}
     for d, n2 in zip(dims, sizes2):
@@ -150,8 +159,7 @@ def _conv_like(da, db, dims, mode, engine, caller, reverse):
                 coords[d] = Coord(
                     (d,), origin + (start + np.arange(length)) * dxa,
                     {"spacing": dxa}, d)
-    return LabeledArray(y, dims=list(da.dims), coords=coords,
-                        attrs=dict(da.attrs), name=da.name)
+    return coords
 
 
 def fftconvolve(da, db, dims=None, mode="full", engine=None) -> LabeledArray:
@@ -166,6 +174,120 @@ def fftconvolve(da, db, dims=None, mode="full", engine=None) -> LabeledArray:
     """
     return _conv_like(da, db, dims, mode, engine, "fftconvolve",
                       reverse=False)
+
+
+def oaconvolve(da, db, dims=None, mode="full", engine=None) -> LabeledArray:
+    """Overlap-add linear convolution of ``da`` with ``db`` along ONE dim
+    — ``scipy.signal.oaconvolve``: identical values to
+    :func:`fftconvolve`, but a long signal convolved with a short kernel
+    is split into blocks of length ``step = nfft - (n2-1)`` and each
+    block is transformed at the small size ``nfft`` instead of the full
+    next-pow2 of ``n1+n2-1`` — O(n1 log n2) work and O(n1) memory.
+
+    TPU-first shape: the blocks become a leading batch axis for the
+    stacked engine FFT (one batched MXU matmul instead of a giant
+    transform), the kernel's FFT is computed once and broadcast, and the
+    overlap-add is two static slices + one add (block ``k``'s tail lands
+    exactly in block ``k+1``'s head because ``step >= n2-1`` by
+    construction) — no scatter, no dynamic shapes, jit-traceable.
+
+    ``dims`` must resolve to a single dim (scipy's N-D overlap-add
+    blocks every axis; for N-D use :func:`fftconvolve`, which this
+    function falls back to when the kernel is not much shorter than the
+    signal, like scipy falls back on equal shapes).  Modes, kernel
+    broadcasting, and coordinate-aware output grids match
+    :func:`fftconvolve`.
+    """
+    dims_l = _norm_dims(da, db, dims, "oaconvolve")
+    if len(dims_l) != 1:
+        raise ValueError(
+            "oaconvolve blocks a single long dim; got "
+            f"dims={dims_l!r} (use fftconvolve for N-D convolution)")
+    d = dims_l[0]
+    ax = da.dims.index(d)
+    n1, n2 = da.sizes[d], db.sizes[d]
+    for dd in da.dims:
+        if dd in db.dims and dd != d and da.sizes[dd] != db.sizes[dd]:
+            raise ValueError(
+                f"oaconvolve: non-transform dim {dd!r} has mismatched "
+                f"sizes {da.sizes[dd]} != {db.sizes[dd]}")
+
+    full = n1 + n2 - 1
+    nfft = 1 << int(np.ceil(np.log2(max(8 * (n2 - 1), 256))))
+    if n2 <= 1 or nfft >= (1 << int(np.ceil(np.log2(max(full, 1))))):
+        # kernel not much shorter than the signal (or trivial): the
+        # single full-size transform is cheaper — scipy's fallback
+        return _conv_like(da, db, dims_l, mode, engine, "oaconvolve",
+                          reverse=False)
+    step = nfft - (n2 - 1)
+    nb = -(-n1 // step)
+
+    real_out = (not carray.is_complex(da.data)
+                and not carray.is_complex(db.data))
+    v = _align_second(da, db, "oaconvolve")
+    x = carray.moveaxis(da.data, ax, -1)
+    v = carray.moveaxis(v, ax, -1)
+
+    # kernel spectrum, computed once at the block size
+    pad_v = [(0, 0)] * v.ndim
+    pad_v[-1] = (0, nfft - n2)
+    v = carray.pad(v, pad_v)
+    v = carray.reshape(v, list(v.shape[:-1]) + [1, nfft])  # block axis
+    if real_out:
+        V = fft_core.rfftn(v, [-1], engine=engine)
+    else:
+        V = fft_core.fftn(v, [-1], engine=engine)
+
+    # signal blocks [..., nb, step] zero-padded to [..., nb, nfft]
+    pad_x = [(0, 0)] * x.ndim
+    pad_x[-1] = (0, nb * step - n1)
+    x = carray.pad(x, pad_x)
+    x = carray.reshape(x, list(x.shape[:-1]) + [nb, step])
+    pad_b = [(0, 0)] * x.ndim
+    pad_b[-1] = (0, nfft - step)
+    x = carray.pad(x, pad_b)
+    if real_out:
+        y = fft_core.irfftn(
+            carray.multiply(fft_core.rfftn(x, [-1], engine=engine), V),
+            [-1], engine=engine)
+    else:
+        y = fft_core.ifftn(
+            carray.multiply(fft_core.fftn(x, [-1], engine=engine), V),
+            [-1], engine=engine)
+
+    # overlap-add: block k's tail (n2-1 <= step wide) lands in block
+    # k+1's head — append one zero block to hold the final tail
+    nd = y.ndim
+    sl = [slice(None)] * nd
+    sl[-1] = slice(0, step)
+    heads = carray.getitem(y, tuple(sl))
+    sl[-1] = slice(step, nfft)
+    tails = carray.getitem(y, tuple(sl))
+    pad_t = [(0, 0)] * nd
+    pad_t[-1] = (0, step - (nfft - step))
+    tails = carray.pad(tails, pad_t)
+    zshape = list(heads.shape)
+    zshape[-2] = 1
+    zdt = heads.re.dtype if carray.is_pair(heads) else heads.dtype
+    zero = carray.constant(np.zeros(zshape, dtype=zdt), heads)
+    heads = carray.concatenate([heads, zero], axis=-2)
+    tails = carray.concatenate([zero, tails], axis=-2)
+    out = (carray.ComplexPair(heads.re + tails.re, heads.im + tails.im)
+           if carray.is_pair(heads) else heads + tails)
+    out = carray.reshape(out, zshape[:-2] + [(nb + 1) * step])
+
+    start, length = _crop_window(mode, n1, n2, "oaconvolve")
+    sl = [slice(None)] * (nd - 1)
+    sl[-1] = slice(start, start + length)
+    out = carray.getitem(out, tuple(sl))
+    if real_out:
+        out = carray.real(out)
+    out = carray.moveaxis(out, -1, ax)
+
+    coords = _conv_coords(da, db, [d], [n2], {d: (start, length)},
+                          reverse=False)
+    return LabeledArray(out, dims=list(da.dims), coords=coords,
+                        attrs=dict(da.attrs), name=da.name)
 
 
 def correlate(da, db, dims=None, mode="full", engine=None) -> LabeledArray:
