@@ -359,6 +359,27 @@ def _run():
 
     _bench("irfft2_flagship_ms",
            lambda: round(loop_per_iter(step_irfft, re0, k=8), 2))
+
+    # natural-order leg (VERDICT r4 item 1): freq_y in raw fftfreq order.
+    # The sort roll composes with the engine's absorbed input ifftshift
+    # into the identity (transform.py sort_rolls), so this must measure
+    # equal to the pre-sorted leg within spread — previously it paid a
+    # 2.9 ms device roll (scripts/perf_pending_ab.py, 30.77 vs 27.92).
+    ftc_nat = {"freq_y": np.fft.fftfreq(N, 0.5),
+               "freq_x": np.fft.rfftfreq(N, 0.5)}
+    half_nat = LabeledArray(
+        jnp.zeros((B, N, N // 2 + 1), np.float32),
+        dims=("time", "freq_y", "freq_x"), coords=ftc_nat)
+
+    def step_irfft_nat(xx):
+        daft = half_nat.copy(data=_car.ComplexPair(xx, xx * 0.3))
+        out = xrft_tpu.ifft(daft, dim=["freq_y", "freq_x"],
+                            real_dim="freq_x", shift=False, lag=None,
+                            true_phase=False, true_amplitude=False)
+        return jnp.sum(out.data)
+
+    _bench("irfft2_flagship_natural_ms",
+           lambda: round(loop_per_iter(step_irfft_nat, re0, k=8), 2))
     del re0
 
     # Welch flagship: 8x4096^2 PSD over 1024^2 hann segments

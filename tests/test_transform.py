@@ -550,3 +550,129 @@ def test_irfft_shift_absorption_parity(shape, true_phase, shift):
         ref = xrft_tpu.ifft(ft, engine="xla", **kw)
     npt.assert_allclose(np.asarray(got.values), np.asarray(ref.values),
                         atol=1e-10)
+
+
+# ---------------------------------------------------------------------------
+# sortby-roll absorption: natural-order frequency grids never materialize a
+# device pass (the sort roll composes with the engine's absorbed input
+# ifftshift into the identity).  Reference sortby: xrft.py:598.
+# ---------------------------------------------------------------------------
+
+
+def _all_primitives(jaxpr, prims=None):
+    """Multiset of every primitive in a jaxpr, recursing into sub-jaxprs."""
+    from collections import Counter
+
+    if prims is None:
+        prims = Counter()
+    for eqn in jaxpr.eqns:
+        prims[eqn.primitive.name] += 1
+        for v in eqn.params.values():
+            vals = v if isinstance(v, (tuple, list)) else [v]
+            for item in vals:
+                if hasattr(item, "jaxpr"):
+                    _all_primitives(item.jaxpr, prims)
+                elif hasattr(item, "eqns"):
+                    _all_primitives(item, prims)
+    return prims
+
+
+@pytest.mark.parametrize("shape", [(16, 8), (15, 9), (16, 9), (12, 10)])
+def test_ifft_natural_order_roundtrip(shape):
+    """ifft of a natural-order (unshifted fftfreq) spectrum equals ifft of
+    the same spectrum pre-sorted — the roll/ifftshift composition path."""
+    import warnings as _w
+
+    N, M = shape
+    rng = np.random.RandomState(3)
+    x = rng.randn(N, M) + 1j * rng.randn(N, M)
+    da = LabeledArray(x, dims=("y", "x"),
+                      coords={"y": np.arange(N) * 0.5,
+                              "x": np.arange(M) * 0.25})
+    lag = [float(np.arange(N)[N // 2] * 0.5),
+           float(np.arange(M)[M // 2] * 0.25)]
+    with _w.catch_warnings():
+        _w.simplefilter("ignore")
+        for engine in ("xla", "matmul"):
+            nat = fft(da, dim=["y", "x"], shift=False, engine=engine)
+            back = ifft(nat, dim=["freq_y", "freq_x"], lag=lag,
+                        engine=engine)
+            npt.assert_allclose(np.asarray(back.values), x, atol=1e-11)
+            npt.assert_allclose(back["y"].values, da["y"].values, atol=1e-12)
+
+
+def test_ifft_natural_order_jaxpr_structurally_free():
+    """The natural-order and pre-sorted ifft2/irfft2 programs are
+    structurally identical on the matmul engine (shifts live in the
+    constant weights; the sort roll composes to the identity) — no extra
+    roll/gather/reverse pass for natural order."""
+    import jax
+
+    N, M = 64, 32
+    x = np.random.RandomState(0).randn(N, M).astype(np.float32)
+
+    def counts(fy, fx):
+        da = LabeledArray(x + 0.0, dims=("freq_y", "freq_x"),
+                          coords={"freq_y": fy, "freq_x": fx})
+        f = lambda d: ifft(d, dim=["freq_y", "freq_x"], lag=[0.0, 0.0],
+                           engine="matmul")
+        return _all_primitives(jax.make_jaxpr(f)(da).jaxpr)
+
+    nat = counts(np.fft.fftfreq(N, 0.5), np.fft.fftfreq(M, 0.25))
+    srt = counts(np.fft.fftshift(np.fft.fftfreq(N, 0.5)),
+                 np.fft.fftshift(np.fft.fftfreq(M, 0.25)))
+    assert nat == srt, (nat, srt)
+    assert "gather" not in nat
+
+    def counts_r(fy):
+        da = LabeledArray(np.zeros((N, M // 2 + 1), np.complex128),
+                          dims=("freq_y", "freq_x"),
+                          coords={"freq_y": fy,
+                                  "freq_x": np.fft.rfftfreq(M, 0.25)})
+        f = lambda d: ifft(d, dim=["freq_y", "freq_x"], real_dim="freq_x",
+                           lag=[0.0, 0.0], engine="matmul")
+        return _all_primitives(jax.make_jaxpr(f)(da).jaxpr)
+
+    natr = counts_r(np.fft.fftfreq(N, 0.5))
+    srtr = counts_r(np.fft.fftshift(np.fft.fftfreq(N, 0.5)))
+    assert natr == srtr, (natr, srtr)
+
+
+@pytest.mark.parametrize("roll", [1, 3, -5])
+def test_ifft_arbitrary_cyclic_roll_coords(roll):
+    """A frequency grid cyclically rolled by an arbitrary amount (not the
+    fftshift half) takes the single-explicit-roll path and still inverts
+    exactly; an arbitrary (non-cyclic) permutation falls back to sortby."""
+    import warnings as _w
+
+    N, M = 16, 12
+    rng = np.random.RandomState(7)
+    x = rng.randn(N, M) + 1j * rng.randn(N, M)
+    da = LabeledArray(x, dims=("y", "x"),
+                      coords={"y": np.arange(N) * 0.5,
+                              "x": np.arange(M) * 0.25})
+    lag = [float(np.arange(N)[N // 2] * 0.5),
+           float(np.arange(M)[M // 2] * 0.25)]
+    with _w.catch_warnings():
+        _w.simplefilter("ignore")
+        ft = fft(da, dim=["y", "x"], shift=True)
+        ref = ifft(ft, dim=["freq_y", "freq_x"], lag=lag)
+        fv = np.asarray(ft.values)
+
+        # cyclic roll of the freq_y axis (data + coord together)
+        fy = ft["freq_y"].values
+        rolled = LabeledArray(np.roll(fv, roll, axis=0), dims=ft.dims,
+                              coords={"freq_y": np.roll(fy, roll),
+                                      "freq_x": ft["freq_x"].values})
+        got = ifft(rolled, dim=["freq_y", "freq_x"], lag=lag)
+        npt.assert_allclose(np.asarray(got.values), np.asarray(ref.values),
+                            atol=1e-11)
+
+        # arbitrary permutation: sortby fallback
+        perm = rng.permutation(N)
+        permuted = LabeledArray(fv[perm], dims=ft.dims,
+                                coords={"freq_y": fy[perm],
+                                        "freq_x": ft["freq_x"].values})
+        got2 = ifft(permuted, dim=["freq_y", "freq_x"], lag=lag)
+        npt.assert_allclose(np.asarray(got2.values), np.asarray(ref.values),
+                            atol=1e-11)

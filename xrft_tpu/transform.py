@@ -498,10 +498,39 @@ def ifft(
     axis_num = [daft.get_axis_num(d) for d in dim]
     N = [daft.shape[n] for n in axis_num]
 
-    # sort by coordinates to handle fftshifted/unsorted grids
-    sortable = [d for d in dim if d in daft.coords]
-    if sortable:
-        daft = daft.sortby(sortable)
+    # sort by coordinates to handle fftshifted/unsorted grids (reference
+    # /root/reference/xrft/xrft.py:598).  A frequency order that is a pure
+    # cyclic roll of ascending order — natural fftfreq order being the
+    # common case — never materializes a device pass: the sort roll
+    # composes with the engine's absorbed input ifftshift into one static
+    # roll, which for natural order is the identity.  Only arbitrary
+    # permutations (and the one-sided real axis) fall back to a device
+    # sortby.
+    sort_rolls: dict[str, int] = {}
+    device_sort = []
+    for d in dim:
+        if d not in daft.coords:
+            continue
+        v = daft.coords[d].values
+        n_d = v.shape[0]
+        order = np.argsort(v, kind="stable")
+        if np.array_equal(order, np.arange(n_d)):
+            continue
+        k0 = int(order[0])
+        if d != real_dim and np.array_equal(order, (np.arange(n_d) + k0) % n_d):
+            sort_rolls[d] = k0
+            # host-side reorder of every coordinate carrying d; the data
+            # roll is deferred into the engine's pre-shift composition
+            for cname, c in list(daft.coords.items()):
+                if d in c.dims:
+                    cax = c.dims.index(d)
+                    daft = daft.assign_coords({cname: Coord(
+                        c.dims, np.take(c.values, order, axis=cax),
+                        c.attrs, cname)})
+        else:
+            device_sort.append(d)
+    if device_sort:
+        daft = daft.sortby(device_sort)
 
     delta_x = [
         ce.get_coordinate_spacing(_dim_coord(daft, d), spacing_tol) for d in dim
@@ -515,7 +544,33 @@ def ifft(
                 f"coordinate {d} is not centered on zero frequency"
             )
 
-    axis_shift = [daft.get_axis_num(d) for d in dim if d != real_dim]
+    # engine input-shift composition per non-real axis: the standard
+    # absorbed ifftshift (roll by -(n//2)), composed with any deferred
+    # sort roll (roll by -k0).  Total roll 0 -> nothing at all (natural
+    # order); otherwise one explicit roll replaces the sortby pass.
+    axis_shift = []
+    extra_rolls = []
+    for d in dim:
+        if d == real_dim:
+            continue
+        ax = daft.get_axis_num(d)
+        if d in sort_rolls:
+            n_d = daft.shape[ax]
+            amt = (-(sort_rolls[d] + n_d // 2)) % n_d
+            if amt == 0:
+                continue
+            if amt == (-(n_d // 2)) % n_d:
+                axis_shift.append(ax)  # exactly an ifftshift: free absorb
+            else:
+                extra_rolls.append((ax, amt if amt <= n_d // 2
+                                    else amt - n_d))
+        else:
+            axis_shift.append(ax)
+    if extra_rolls:
+        data = daft.data
+        for ax, amt in extra_rolls:
+            data = carray.roll(data, amt, ax)
+        daft = daft.copy(data=data)
 
     # output-shift composition: fftshift o ifftshift is the identity, so
     # only three cases remain; the engine absorbs them into its constants
