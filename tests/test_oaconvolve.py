@@ -121,3 +121,24 @@ def test_error_contracts():
             LabeledArray(rng.randn(5000), dims=["t"]),
             LabeledArray(rng.randn(16), dims=["t"]),
             dims="t", mode="bogus")
+
+
+def test_block_path_validates_before_device_work():
+    """ADVICE r4: the block path must reject a stale wrong-length kernel
+    coordinate and a bad mode string up front, exactly like _conv_like —
+    not silently mis-grid the output (coord) or raise only after the
+    transforms (mode)."""
+    from xrft_tpu.labeled import Coord
+
+    rng = np.random.RandomState(2)
+    da = LabeledArray(rng.randn(5000), dims=["t"],
+                      coords={"t": np.arange(5000) * 0.5})
+    db = LabeledArray(rng.randn(64), dims=["t"],
+                      coords={"t": np.arange(64) * 0.5})
+    db.coords["t"] = Coord(("t",), np.arange(32) * 0.5, None, "t")
+    with pytest.raises(ValueError, match="inconsistent coord"):
+        xrft_tpu.oaconvolve(da, db, dims="t")
+    db2 = LabeledArray(rng.randn(64), dims=["t"],
+                       coords={"t": np.arange(64) * 0.5})
+    with pytest.raises(ValueError, match="mode must be"):
+        xrft_tpu.oaconvolve(da, db2, dims="t", mode="bogus")

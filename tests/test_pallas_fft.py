@@ -80,3 +80,14 @@ def test_rowtile_kernel_complex_inverse():
     ref = np.fft.ifft(z.astype(np.complex128), axis=-1) * 1024
     npt.assert_allclose(got / np.abs(ref).max(), ref / np.abs(ref).max(),
                         atol=2e-6)
+
+
+def test_default_factors_are_balanced():
+    """ADVICE r4: the kernel default must be the measured-best balanced
+    pair ((64, 64) at n=4096, 34.8 vs 41.7 ms for (128, 32) in the
+    round-4 on-chip sweep), not the full-K (128, n//128) split."""
+    from xrft_tpu.ops.pallas_fft import _balanced_factors, _default_factors
+
+    assert _default_factors(4096) == (64, 64)
+    for n in (256, 1024, 4096, 8192):
+        assert _default_factors(n) == _balanced_factors(n)

@@ -206,6 +206,13 @@ def oaconvolve(da, db, dims=None, mode="full", engine=None) -> LabeledArray:
     d = dims_l[0]
     ax = da.dims.index(d)
     n1, n2 = da.sizes[d], db.sizes[d]
+    # validate before any device work, mirroring _conv_like: a stale
+    # kernel coordinate of the wrong length must raise (not silently
+    # corrupt the output grid), and a bad mode string must not wait for
+    # the post-transform crop to be rejected
+    _crop_window(mode, n1, n2, "oaconvolve")
+    if d in db.coords and db.coords[d].values.shape[0] != n2:
+        raise ValueError(f"oaconvolve: inconsistent coord on {d!r}")
     for dd in da.dims:
         if dd in db.dims and dd != d and da.sizes[dd] != db.sizes[dd]:
             raise ValueError(

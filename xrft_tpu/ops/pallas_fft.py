@@ -66,11 +66,11 @@ def _balanced_factors(n: int, cap: int = 256):
 
 @lru_cache(maxsize=None)
 def _default_factors(n: int, cap: int = 256):
-    """Kernel-default (n1, n2): prefer n1 == 128 (stage-1 contraction at
-    the MXU's full K) when the cofactor stays >= 32 (minor-dim tiling);
-    else the most-balanced pair."""
-    if n % 128 == 0 and 32 <= n // 128 <= cap:
-        return (128, n // 128)
+    """Kernel-default (n1, n2): the most-balanced pair.  The round-4
+    on-chip sweep (scripts/perf_pallas_fftfuse.py, BASELINE.md) measured
+    balanced (64, 64) at n=4096 fastest (34.8 ms flagship) vs (128, 32)
+    at 41.7 ms — the full-K stage-1 contraction does not pay for the
+    narrower stage-2 minor dim."""
     return _balanced_factors(n, cap)
 
 
