@@ -426,6 +426,53 @@ def _run():
     _bench("spectrogram_flagship_ms",
            lambda: round(loop_per_iter(step_sg, da_sg.data, k=4), 2))
 
+    # ---- VERDICT r4 item 6: flagship-scale perf for the round-4
+    # scipy-namesake families, with the same min-of-k/spread discipline
+    # (a regression in dct's engine routing or fftconvolve's padding is
+    # now driver-visible).
+
+    # stft flagship: same signal family as the spectrogram flagship but
+    # through the full scipy-invertible stft (boundary zeros + padding +
+    # complex output)
+    def step_stft(xx):
+        from xrft_tpu.ops import carray as _c
+
+        st = xrft_tpu.stft(da_sg.copy(data=xx), dim="t", seglen=segs,
+                           window="hann")
+        return jnp.sum(_c.real(st.data)) + jnp.sum(_c.imag(st.data))
+
+    _bench("stft_flagship_ms",
+           lambda: round(loop_per_iter(step_stft, da_sg.data, k=4), 2))
+
+    # dct2 flagship: 8 x 4096^2 type-II over both axes (nested 1-D
+    # transforms, the scipy.fft.dctn composition)
+    def step_dct2(xx):
+        out = xrft_tpu.dct(xrft_tpu.dct(da.copy(data=xx), dim="x"),
+                           dim="y")
+        return jnp.sum(out.data)
+
+    _bench("dct2_flagship_ms",
+           lambda: round(loop_per_iter(step_dct2, da.data, k=8), 2))
+
+    # fftconvolve flagship: 4096^2 field (x) 63^2 kernel, mode='same'
+    Nc, Kc2 = (256, 9) if _SMOKE else (4096, 63)
+    da_c = LabeledArray(rng.randn(Nc, Nc).astype(np.float32),
+                        dims=("y", "x"),
+                        coords={"y": np.arange(Nc) * 1.0,
+                                "x": np.arange(Nc) * 1.0})
+    kern = LabeledArray(rng.randn(Kc2, Kc2).astype(np.float32),
+                        dims=("y", "x"),
+                        coords={"y": np.arange(Kc2) * 1.0,
+                                "x": np.arange(Kc2) * 1.0})
+
+    def step_conv(xx):
+        out = xrft_tpu.fftconvolve(da_c.copy(data=xx), kern,
+                                   dims=["y", "x"], mode="same")
+        return jnp.sum(out.data)
+
+    _bench("fftconvolve_2d_ms",
+           lambda: round(loop_per_iter(step_conv, da_c.data, k=8), 2))
+
     # one-sided flagship: user-requested real_dim= PSD (the scipy.welch /
     # periodogram convention) rides the fused raw-layout route with the
     # doubling folded into the |F|^2 pass (round-3: 25.6 -> ~19 ms)
