@@ -64,3 +64,66 @@ def test_tile_divisibility_contract(packed):
         pallas_dot.make_dot_kernel(W, 8192, tile_cols=3000)
     with pytest.raises(ValueError, match="M == 2K"):
         pallas_dot.make_dot_fold_kernel(W[:200], 8192, tile_cols=2048)
+
+
+# ---------------------------------------------------------------------------
+# config.pallas_level0: the in-engine route for the real-input level-0
+# dot (floor_retest follow-through, round 5).  Both variants must be
+# numerically identical to the dot_general path and actually fire on the
+# flagship-shaped plan.
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("mode", ["unpacked_interpret", "packed_interpret"])
+def test_pallas_level0_route_matches_dot_general(mode):
+    import jax
+
+    from xrft_tpu.config import config
+    from xrft_tpu.ops import stacked_fft
+
+    rng = np.random.RandomState(3)
+    # x-axis 2048 > direct_prune_max -> multi-level (16, 128) raw plan,
+    # so the level-0 real dot exists (the flagship's hot-dot shape class)
+    x = jnp.asarray(rng.randn(16, 2, 2048).astype(np.float32))
+
+    def prog(xx):
+        a, layout = stacked_fft.fft_nd_stacked(
+            xx, [0, 2], "rfft", (), (0,), raw=True)
+        re, im = stacked_fft.raw_planes(a, layout)
+        return re * re + im * im
+
+    base = np.asarray(prog(x))
+    config.pallas_level0 = mode
+    try:
+        jaxpr = str(jax.make_jaxpr(prog)(x))
+        got = np.asarray(prog(x))
+    finally:
+        config.pallas_level0 = "never"
+    assert "pallas_call" in jaxpr  # the route FIRED
+    assert np.abs(got - base).max() <= 1e-6 * np.abs(base).max()
+
+
+def test_pallas_level0_ineligible_falls_back():
+    import jax
+
+    from xrft_tpu.config import config
+    from xrft_tpu.ops import stacked_fft
+
+    rng = np.random.RandomState(4)
+    x = jnp.asarray(rng.randn(16, 2, 2048).astype(np.float32))
+
+    def prog(xx):
+        a, layout = stacked_fft.fft_nd_stacked(
+            xx, [0, 2], "rfft", (), (0,), raw=True)
+        re, im = stacked_fft.raw_planes(a, layout)
+        return re * re + im * im
+
+    config.pallas_level0 = "unpacked_interpret"
+    old_prec = config.matmul_precision
+    config.matmul_precision = "default"  # off the kernel's HIGHEST grade
+    try:
+        jaxpr = str(jax.make_jaxpr(prog)(x))
+    finally:
+        config.pallas_level0 = "never"
+        config.matmul_precision = old_prec
+    assert "pallas_call" not in jaxpr  # clean static fallback

@@ -123,6 +123,19 @@ class _Config:
     # packing saves no MXU work, while the combine's partner reads
     # (flip+roll of both standard planes) add several memory passes.
     psd_packed: str = "never"
+    # Pallas route for the stacked engine's real-input level-0 dot (the
+    # flagship's hottest dot, W(2,k,j) x X(j, ~4.2M cols)): "never"
+    # (default), "unpacked" (ops/pallas_dot.make_dot_kernel on the
+    # (2k, j) x (j, cols) layout the engine already has — zero
+    # relayouts), or "packed" (G=4 block-diagonal K-packing, the
+    # isolated-A/B-winning MXU shape, at the price of one input and one
+    # output relayout).  "*_interpret" suffixes run the kernel in
+    # interpret mode (CPU tests).  Wired per the floor_retest decision
+    # rule after FLOOR_r05 fired (isolated XLA dot 5.18 ms vs Pallas
+    # 4.19 on this toolchain); the IN-CONTEXT A/B
+    # (scripts/perf_pallas_inctx.py) decides the default — see
+    # BASELINE.md round 5.
+    pallas_level0: str = "never"
 
 
 config = _Config()

@@ -147,18 +147,25 @@ def _conv_coords(da, db, dims, sizes2, starts, reverse):
                 and ce.is_valid_fft_coord(ca) and ce.is_valid_fft_coord(cb)
                 and np.issubdtype(np.asarray(ca.values).dtype, np.number)
                 and np.issubdtype(np.asarray(cb.values).dtype, np.number)):
-            dxa = ce.diff_coord(ca)[0]
-            dxb = ce.diff_coord(cb)[0]
-            if np.isclose(dxa, dxb, rtol=1e-6):
+            # a single-point operand has no spacing of its own: it lies
+            # on any grid, so the other operand's spacing rules (fuzz
+            # find: size-1 kernels crashed on diff of an empty array)
+            na = np.asarray(ca.values).shape[0]
+            nb = np.asarray(cb.values).shape[0]
+            dxa = ce.diff_coord(ca)[0] if na > 1 else None
+            dxb = ce.diff_coord(cb)[0] if nb > 1 else None
+            dx = dxa if dxa is not None else dxb
+            if dx is not None and (dxa is None or dxb is None
+                                   or np.isclose(dxa, dxb, rtol=1e-6)):
                 x0 = np.asarray(ca.values).flat[0]
                 y0 = np.asarray(cb.values).flat[0]
                 if reverse:  # correlation lag: x grid minus y grid
-                    origin = x0 - y0 - (n2 - 1) * dxa
+                    origin = x0 - y0 - (n2 - 1) * dx
                 else:  # convolution support: sum of the grids' origins
                     origin = x0 + y0
                 coords[d] = Coord(
-                    (d,), origin + (start + np.arange(length)) * dxa,
-                    {"spacing": dxa}, d)
+                    (d,), origin + (start + np.arange(length)) * dx,
+                    {"spacing": dx}, d)
     return coords
 
 

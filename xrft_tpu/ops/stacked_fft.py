@@ -69,6 +69,64 @@ def _precision():
     return _PRECISIONS[config.matmul_precision]
 
 
+def _pallas_level0_dot(a, wl, jp):
+    """Config-gated Pallas route for the real-input level-0 dot
+    ``W(2,k,j) x a`` contracting axis ``jp`` (the flagship's hottest
+    dot; see ``config.pallas_level0``).  Returns the ``(2, k, *rest)``
+    result, or None when ineligible (caller falls back to
+    ``lax.dot_general``).  Eligibility is static: f32 data, HIGHEST
+    precision (the kernel's grade), column count divisible by the tile.
+    """
+    mode = config.pallas_level0
+    if mode == "never":
+        return None
+    interpret = mode.endswith("_interpret")
+    kind = mode.split("_")[0]
+    if kind not in ("unpacked", "packed"):
+        raise ValueError(f"Unknown pallas_level0 mode {mode!r}")
+    if not interpret and jax.default_backend() in ("cpu", "gpu", "cuda",
+                                                   "rocm"):
+        return None
+    if a.dtype != jnp.float32 or config.matmul_precision != "highest":
+        return None
+    from .pallas_dot import make_dot_kernel, pack_block_diag
+
+    two, k, j = wl.shape
+    rest_shape = tuple(s for q, s in enumerate(a.shape) if q != jp)
+    cols = int(np.prod(rest_shape))
+    # the kernel needs the (j, cols) 2-D view; when j is not already the
+    # major dim this transpose is a real memory pass (XLA's emitter pays
+    # the same relayout internally, possibly fused — the in-context A/B
+    # measures exactly this difference)
+    a = jnp.moveaxis(a, jp, 0)
+    w2 = wl.reshape(two * k, j)
+    if kind == "packed":
+        G = 4
+        if cols % G:
+            return None
+        cg = cols // G
+        # tc=2048: FLOOR_r05 recorded a Mosaic remote-compile failure at
+        # tc=4096 on this toolchain; 2048 compiles and measured within
+        # 0.1 ms of 4096 in round 4 (scripts/perf_pallas_dot.py)
+        tile = 2048 if cg % 2048 == 0 else (cg if cg <= 4096 else None)
+        if tile is None:
+            return None
+        # pack G adjacent column blocks into the K dim (input relayout),
+        # block-diagonal weight, then restore column order (output
+        # relayout) — the isolated-A/B-winning K=128/M=256 MXU shape
+        x2 = jnp.swapaxes(a.reshape(j, G, cg), 0, 1).reshape(G * j, cg)
+        o = make_dot_kernel(pack_block_diag(np.asarray(w2, np.float32), G),
+                            cg, tile, interpret=interpret)(x2)
+        o = jnp.moveaxis(o.reshape(G, two, k, cg), 0, 2)
+        return o.reshape(two, k, *rest_shape)
+    tile = 2048 if cols % 2048 == 0 else (cols if cols <= 4096 else None)
+    if tile is None:
+        return None
+    o = make_dot_kernel(np.asarray(w2, np.float32), cols,
+                        tile, interpret=interpret)(a.reshape(j, cols))
+    return o.reshape(two, k, *rest_shape)
+
+
 # --------------------------------------------------------------------------
 # Radix planning
 # --------------------------------------------------------------------------
@@ -604,9 +662,16 @@ def fft_nd_stacked(x, axes, kind: str, pre_shift_axes=(), post_shift_axes=(),
                     rest = [d for q, d in enumerate(dims)
                             if q not in (cp, jp)]
                 else:
-                    # W (2, k, j) x a: contract (j)
-                    a = lax.dot_general(
-                        wj, a, (((2,), (jp,)), ((), ())), precision=prec)
+                    # W (2, k, j) x a: contract (j).  The level-0 real
+                    # dot optionally routes through the Pallas kernel
+                    # (config.pallas_level0; floor_retest follow-through)
+                    o = _pallas_level0_dot(a, wl, jp) if lvl == 0 else None
+                    if o is None:
+                        a = lax.dot_general(
+                            wj, a, (((2,), (jp,)), ((), ())),
+                            precision=prec)
+                    else:
+                        a = o
                     rest = [d for q, d in enumerate(dims) if q != jp]
                     has_c = True
                 dims = [_C, _dig(ax, lvl)] + rest

@@ -282,9 +282,32 @@ def istft(Zxx: LabeledArray, dim=None, seglen=None, segment_overlap=None,
     # ifftshift (the reference's tp=False semantics would roll the
     # reconstructed segments by seglen//2,
     # /root/reference/xrft/xrft.py:617-618)
-    back = ifft(Z, dim=[fdim], real_dim=fdim if one_sided else None,
-                true_phase=True, true_amplitude=False, shift=False,
-                lag=[0.0])
+    if one_sided and seglen % 2 == 1:
+        # odd seglen (fuzz find): the real inverse is even-length-only
+        # (reference irfftn semantics, /root/reference/xrft/xrft.py:604),
+        # which would reconstruct 2*(nf-1) != seglen samples.  Match
+        # scipy's irfft(X, n=seglen) by Hermitian-extending the half
+        # spectrum to the full circle (one static slice+flip+concat) and
+        # running the complex inverse; the natural-order fftfreq coord
+        # keeps the sortby absorbed (zero extra device passes).
+        ax = Z.get_axis_num(fdim)
+        tail = carray.conj(carray.flip(carray._map(
+            Z.data, lambda v: jax.lax.slice_in_dim(v, 1, nf, axis=ax)),
+            ax))
+        full = carray.concatenate([Z.data, tail], ax)
+        fullc = Coord((fdim,), np.fft.fftfreq(seglen, dx),
+                      {"spacing": 1.0 / (seglen * dx)}, fdim)
+        zc = {k: c.copy() for k, c in Z.coords.items()
+              if fdim not in c.dims}
+        zc[fdim] = fullc
+        Zf = LabeledArray(full, dims=Z.dims, coords=zc, name=Z.name)
+        back = ifft(Zf, dim=[fdim], real_dim=None, true_phase=True,
+                    true_amplitude=False, shift=False, lag=[0.0])
+        back = back.copy(data=carray.real(back.data))
+    else:
+        back = ifft(Z, dim=[fdim], real_dim=fdim if one_sided else None,
+                    true_phase=True, true_amplitude=False, shift=False,
+                    lag=[0.0])
 
     # apply the synthesis window, overlap-add, normalize
     wj = jnp.asarray(w.astype(np.float32))
