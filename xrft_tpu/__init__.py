@@ -28,7 +28,9 @@ from .czt import czt, zoom_fft  # noqa: F401
 from .resample import resample  # noqa: F401
 from .lombscargle import lombscargle  # noqa: F401
 from .fht import fht, fhtoffset, ifht  # noqa: F401
-from .convolve import correlate, fftconvolve, oaconvolve  # noqa: F401
+from .convolve import (  # noqa: F401
+    choose_conv_method, convolve, correlate, fftconvolve, oaconvolve,
+)
 from .detrend import detrend  # noqa: F401
 from .padding import pad, unpad  # noqa: F401
 from .highprec import fft64, ifft64  # noqa: F401
@@ -44,7 +46,8 @@ for _name in (
     "cross_phase", "coherence", "spectrogram", "welch", "csd",
     "periodogram", "stft", "istft", "hilbert", "envelope",
     "dct", "idct", "dst", "idst", "czt", "zoom_fft", "resample",
-    "fftconvolve", "oaconvolve", "correlate", "lombscargle", "fht", "ifht",
+    "convolve", "fftconvolve", "oaconvolve", "correlate",
+    "choose_conv_method", "lombscargle", "fht", "ifht",
     "isotropize",
     "isotropic_power_spectrum", "isotropic_cross_spectrum", "pad", "unpad",
     "detrend", "fft64", "ifft64",

@@ -136,6 +136,17 @@ class _Config:
     # (scripts/perf_pallas_inctx.py) decides the default — see
     # BASELINE.md round 5.
     pallas_level0: str = "never"
+    # convolve/correlate method='auto' crossover: kernels with at most
+    # this many elements (over the transform dims) take the direct MXU
+    # ``conv_general_dilated`` route; larger kernels take the padded-FFT
+    # route.  The direct method's cost is prod(n_out)*prod(n2) MACs at
+    # systolic rate while the fft route streams three padded transforms
+    # through HBM, so the crossover is a kernel-size constant to first
+    # order.  Default from the analytic model (HIGHEST-precision MXU at
+    # ~30 TFLOP/s vs three ~500 GB/s transform passes puts the 4096^2
+    # crossover near a 100^2 kernel); scripts/perf_conv_direct.py
+    # measures the real crossover on-chip — re-tune from its output.
+    direct_conv_max: int = 8192
 
 
 config = _Config()

@@ -29,7 +29,8 @@ from . import coords as ce
 from .labeled import Coord, LabeledArray
 from .ops import carray, fft_core
 
-__all__ = ["fftconvolve", "oaconvolve", "correlate"]
+__all__ = ["convolve", "fftconvolve", "oaconvolve", "correlate",
+           "choose_conv_method"]
 
 
 def _norm_dims(da, db, dims, caller):
@@ -304,13 +305,197 @@ def oaconvolve(da, db, dims=None, mode="full", engine=None) -> LabeledArray:
                         attrs=dict(da.attrs), name=da.name)
 
 
-def correlate(da, db, dims=None, mode="full", engine=None) -> LabeledArray:
+def correlate(da, db, dims=None, mode="full", engine=None,
+              method="fft") -> LabeledArray:
     """N-D cross-correlation ``sum da[t+k] * conj(db[t])`` along ``dims``
-    — ``scipy.signal.correlate(method='fft')``: convolution with the
-    conjugate-reversed second operand.  With matching-spacing coordinates
-    the output carries the physical lag grid ``x0 - y0 + (k-(n2-1))*dx``
+    — ``scipy.signal.correlate``: convolution with the conjugate-reversed
+    second operand.  ``method`` is scipy's: ``'fft'`` (default here, the
+    historical behavior), ``'direct'`` (one MXU ``conv_general_dilated``
+    — no padded transforms; see :func:`convolve`), or ``'auto'``
+    (:func:`choose_conv_method`).  With matching-spacing coordinates the
+    output carries the physical lag grid ``x0 - y0 + (k-(n2-1))*dx``
     (``correlate(x, x)`` peaks at lag 0); otherwise index-based, like
     scipy.
     """
-    return _conv_like(da, db, dims, mode, engine, "correlate",
-                      reverse=True)
+    return _method_dispatch(da, db, dims, mode, engine, method,
+                            "correlate", reverse=True)
+
+
+# ---------------------------------------------------------------------------
+# Direct (MXU) method — scipy.signal.convolve/correlate(method='direct'),
+# computed as ONE lax.conv_general_dilated instead of three padded
+# engine transforms.  TPU-first: a small kernel over a large field is
+# exactly the MXU's native operation (the systolic array contracts the
+# kernel window at full rate); the FFT route must pad both operands to
+# the next power of two >= n1+n2-1 per dim (4x the field area in 2-D)
+# and stream three full transforms through HBM.  scipy analogue:
+# _signaltools.convolve's method dispatch.
+# ---------------------------------------------------------------------------
+
+
+def _direct_eligible(da, db, dims, mode, sizes1, sizes2):
+    """Static eligibility of the direct path (None = reason it is not)."""
+    if any(d not in dims for d in db.dims):
+        return "the kernel has non-transform (batch) dims"
+    if any(n2 > n1 for n1, n2 in zip(sizes1, sizes2)):
+        return "the kernel is larger than the data on a transform dim"
+    return None
+
+
+def _direct_conv(da, db, dims, mode, caller, reverse):
+    """mode-cropped linear convolution/correlation via ONE
+    ``lax.conv_general_dilated`` (cross-correlation semantics: the kernel
+    is flipped host-side for convolution, conjugated for correlation).
+    Caller guarantees :func:`_direct_eligible`."""
+    import jax.numpy as jnp
+    from jax import lax
+
+    axes = [da.dims.index(d) for d in dims]
+    sizes1 = [da.sizes[d] for d in dims]
+    sizes2 = [db.sizes[d] for d in dims]
+    for d, n in zip(dims, sizes2):
+        if d in db.coords and db.coords[d].values.shape[0] != n:
+            raise ValueError(f"{caller}: inconsistent coord on {d!r}")
+
+    # per-axis (lo, hi) zero padding reproducing scipy's mode crops of
+    # the full linear result: full -> (n2-1, n2-1); same -> the centered
+    # window (lo = n2//2 so output k == full[k + (n2-1)//2]); valid -> 0
+    pads = []
+    starts = {}
+    for d, n1, n2 in zip(dims, sizes1, sizes2):
+        start, length = _crop_window(mode, n1, n2, caller)
+        starts[d] = (start, length)
+        if mode == "full":
+            pads.append((n2 - 1, n2 - 1))
+        elif mode == "same":
+            pads.append((n2 // 2, (n2 - 1) // 2))
+        else:
+            pads.append((0, 0))
+
+    real_out = (not carray.is_complex(da.data)
+                and not carray.is_complex(db.data))
+
+    # kernel to `dims` order; flip for convolution (conv_general_dilated
+    # does not reverse), conjugate for correlation
+    perm = [db.dims.index(d) for d in dims]
+    v = carray.transpose(db.data, perm) if perm != list(range(len(perm))) \
+        else db.data
+    if not reverse:
+        v = carray.flip(v, tuple(range(len(dims))))
+    elif carray.is_complex(v):
+        v = carray.conj(v)
+
+    nb = da.data.ndim - len(axes)
+    bperm = [q for q in range(da.data.ndim) if q not in axes] + axes
+    inv = list(np.argsort(bperm))
+
+    def conv1(u_real, v_real):
+        ub = jnp.transpose(u_real, bperm)
+        bshape = ub.shape[:nb]
+        lhs = ub.reshape((max(int(np.prod(bshape)), 1), 1) + ub.shape[nb:])
+        rhs = v_real.reshape((1, 1) + tuple(v_real.shape))
+        o = lax.conv_general_dilated(
+            lhs, rhs, window_strides=(1,) * len(axes), padding=pads,
+            precision=lax.Precision.HIGHEST)
+        o = o.reshape(bshape + o.shape[2:])
+        return jnp.transpose(o, inv)
+
+    ur, ui = carray.real(da.data), carray.imag(da.data)
+    vr, vi = carray.real(v), carray.imag(v)
+    cplx_u = carray.is_complex(da.data)
+    cplx_v = carray.is_complex(db.data)
+    rr = conv1(ur, vr)
+    if real_out:
+        y = rr
+    else:
+        re = rr - (conv1(ui, vi) if (cplx_u and cplx_v) else 0.0)
+        im = (conv1(ur, vi) if cplx_v else 0.0) \
+            + (conv1(ui, vr) if cplx_u else 0.0)
+        y = (carray.ComplexPair(re, im) if carray.is_pair(da.data)
+             or carray.is_pair(db.data) else re + 1j * im)
+
+    coords = _conv_coords(da, db, dims, sizes2, starts, reverse)
+    return LabeledArray(y, dims=list(da.dims), coords=coords,
+                        attrs=dict(da.attrs), name=da.name)
+
+
+def _method_dispatch(da, db, dims, mode, engine, method, caller, reverse):
+    dims_l = _norm_dims(da, db, dims, caller)
+    sizes1 = [da.sizes[d] for d in dims_l]
+    sizes2 = [db.sizes[d] for d in dims_l]
+    if method == "auto":
+        method = choose_conv_method(da, db, dims=dims_l, mode=mode)
+    if method == "direct":
+        why = _direct_eligible(da, db, dims_l, mode, sizes1, sizes2)
+        if why is not None:
+            raise ValueError(
+                f"{caller}: method='direct' is unavailable here ({why}); "
+                "use method='fft'")
+        # (the fft path's non-transform-dim size check is unreachable
+        # here: a kernel with a shared batch dim is already ineligible)
+        return _direct_conv(da, db, dims_l, mode, caller, reverse)
+    if method != "fft":
+        raise ValueError(
+            f"{caller}: method must be 'auto', 'direct' or 'fft', "
+            f"got {method!r}")
+    return _conv_like(da, db, dims_l, mode, engine, caller, reverse)
+
+
+def choose_conv_method(da, db, dims=None, mode="full",
+                       measure=False) -> str:
+    """Pick ``'direct'`` or ``'fft'`` for :func:`convolve` /
+    :func:`correlate` — ``scipy.signal.choose_conv_method``, with a
+    TPU-first cost model instead of scipy's CPU constants: the direct
+    method's MXU work is ``prod(n_out) * prod(n2)`` MACs at systolic
+    rate, the fft method streams three padded transforms through HBM, so
+    small kernels over large fields favor direct (the crossover,
+    ``config.direct_conv_max`` kernel elements, is measured on-chip —
+    scripts/perf_conv_direct.py).  ``measure=True`` times both compiled
+    methods on the actual operands and returns the faster (like scipy).
+    """
+    from .config import config
+
+    dims_l = _norm_dims(da, db, dims, "choose_conv_method")
+    sizes1 = [da.sizes[d] for d in dims_l]
+    sizes2 = [db.sizes[d] for d in dims_l]
+    if _direct_eligible(da, db, dims_l, mode, sizes1, sizes2) is not None:
+        return "fft"
+    if measure:
+        import time
+
+        import jax
+
+        best, best_ms = "fft", np.inf
+        for m in ("fft", "direct"):
+            f = jax.jit(lambda x, meth=m: _method_dispatch(
+                da.copy(data=x), db, dims_l, mode, None, meth,
+                "choose_conv_method", False).data)
+            try:
+                jax.block_until_ready(f(da.data))  # compile + warm
+                t0 = time.perf_counter()
+                np.asarray(carray.real(f(da.data)))  # forced transfer
+                ms = (time.perf_counter() - t0) * 1e3
+            except Exception:
+                continue
+            if ms < best_ms:
+                best, best_ms = m, ms
+        return best
+    return "direct" if int(np.prod(sizes2)) <= config.direct_conv_max \
+        else "fft"
+
+
+def convolve(da, db, dims=None, mode="full", method="auto",
+             engine=None) -> LabeledArray:
+    """N-D linear convolution along named dims with method dispatch —
+    ``scipy.signal.convolve``: ``method='fft'`` routes to
+    :func:`fftconvolve`; ``method='direct'`` computes the mode-cropped
+    sum directly as ONE MXU ``lax.conv_general_dilated`` (no padded
+    transforms — the systolic array's native operation; a 63x63 kernel
+    over a 4096^2 field pays 3 transforms of 8192^2 on the fft route);
+    ``method='auto'`` picks via :func:`choose_conv_method`.  Modes,
+    kernel broadcasting over batch dims (fft method; direct requires a
+    transform-dims-only kernel and raises otherwise), real/complex
+    kinds, and coordinate-aware output grids match :func:`fftconvolve`.
+    """
+    return _method_dispatch(da, db, dims, mode, engine, method,
+                            "convolve", reverse=False)

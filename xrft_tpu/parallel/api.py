@@ -255,7 +255,7 @@ _ONE_DIM = {
     "periodogram",
 }
 # two-input estimators transforming `dims` (default: all shared dims)
-_TWO_INPUT = {"fftconvolve", "oaconvolve", "correlate"}
+_TWO_INPUT = {"convolve", "fftconvolve", "oaconvolve", "correlate"}
 
 
 def _reject_sharded_transform(name, tdims, dim_shards):

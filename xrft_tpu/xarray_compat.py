@@ -111,7 +111,7 @@ class XrftAccessor:
         "cross_phase", "coherence", "spectrogram", "welch", "csd",
         "periodogram", "stft", "istft", "hilbert", "envelope",
         "dct", "idct", "dst", "idst", "czt", "zoom_fft", "resample",
-        "fftconvolve", "oaconvolve", "correlate", "lombscargle",
+        "convolve", "fftconvolve", "oaconvolve", "correlate", "lombscargle",
         "fht", "ifht",
         "isotropize",
         "isotropic_power_spectrum", "isotropic_cross_spectrum",
