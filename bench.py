@@ -473,6 +473,19 @@ def _run():
     _bench("fftconvolve_2d_ms",
            lambda: round(loop_per_iter(step_conv, da_c.data, k=8), 2))
 
+    # same operands through the MXU direct route (ONE
+    # conv_general_dilated, no padded transforms) — the method='auto'
+    # crossover check stays driver-visible
+    def step_conv_direct(xx):
+        out = xrft_tpu.convolve(da_c.copy(data=xx), kern,
+                                dims=["y", "x"], mode="same",
+                                method="direct")
+        return jnp.sum(out.data)
+
+    _bench("conv_direct_2d_ms",
+           lambda: round(loop_per_iter(step_conv_direct, da_c.data, k=8),
+                         2))
+
     # one-sided flagship: user-requested real_dim= PSD (the scipy.welch /
     # periodogram convention) rides the fused raw-layout route with the
     # doubling folded into the |F|^2 pass (round-3: 25.6 -> ~19 ms)

@@ -249,7 +249,11 @@ def adjudicate(m):
             reasons.append(
                 f"Pallas dot {m['dot_pallas_ms']} ms beats XLA "
                 f"{m['dot_xla_ms']} by >8%: the dot-emitter floor moved — "
-                "wire pallas_dot in as an engine level")
+                "run scripts/perf_pallas_inctx.py (the IN-CONTEXT A/B) "
+                "before flipping config.pallas_level0: when this fired "
+                "in round 5 the isolated win did NOT survive fusion "
+                "context (in-context 38.87/50.39 vs 20.69 ms — see "
+                "BASELINE.md round 5)")
         if m.get("dot_pallas_absdiff", 0.0) > 1e-2:
             reasons.append("Pallas fold kernel numerics drifted "
                            f"({m['dot_pallas_absdiff']:.2e}) — fix before "

@@ -132,9 +132,13 @@ class _Config:
     # output relayout).  "*_interpret" suffixes run the kernel in
     # interpret mode (CPU tests).  Wired per the floor_retest decision
     # rule after FLOOR_r05 fired (isolated XLA dot 5.18 ms vs Pallas
-    # 4.19 on this toolchain); the IN-CONTEXT A/B
-    # (scripts/perf_pallas_inctx.py) decides the default — see
-    # BASELINE.md round 5.
+    # 4.19 on this toolchain).  The IN-CONTEXT A/B
+    # (scripts/perf_pallas_inctx.py, on-chip, bit-identical checksums)
+    # decided it: inside the flagship program the Pallas routes lose
+    # 38.87 ('unpacked') / 50.39 ('packed') vs 20.69 ms ('never') — the
+    # Pallas call boundary severs XLA's fusion of this dot with its
+    # neighbors, costing far more than the isolated kernel wins.
+    # 'never' stays the default; see BASELINE.md round 5.
     pallas_level0: str = "never"
     # convolve/correlate method='auto' crossover: kernels with at most
     # this many elements (over the transform dims) take the direct MXU
