@@ -181,6 +181,21 @@ def main():
                         atol=1e-6 * env_ref.max())
 
     # %% [markdown]
+    # Rate changes ride the polyphase family (`firwin`/`upfirdn`/
+    # `resample_poly`/`decimate`, scipy namesakes): the FIR taps are
+    # host-static design, the zero-stuff/filter/downsample is one XLA
+    # program, and the time coordinate is rebuilt on the input's base.
+
+    # %%
+    half = xrft_tpu.decimate(xa, 2, dim="time")
+    half_ref = sps.decimate(np.asarray(xa.values, np.float64), 2,
+                            ftype="fir")
+    npt.assert_allclose(np.asarray(half.values), half_ref, rtol=1e-4,
+                        atol=1e-6 * np.abs(half_ref).max())
+    npt.assert_allclose(np.asarray(half.coords["time"].values),
+                        np.asarray(xa.coords["time"].values)[::2])
+
+    # %% [markdown]
     # Inverse transforms segment too (each freq chunk is an independent
     # inverse transform) — a capability pinned by
     # tests/test_transform.py::test_ifft_chunks_to_segments.

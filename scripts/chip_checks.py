@@ -452,6 +452,39 @@ def main():
     check("oaconvolve same rel err",
           np.abs(goa - wantoa).max() / np.abs(wantoa).max(), 1e-5)
 
+    # polyphase resampling family (upfirdn/resample_poly/decimate) vs scipy
+    xp = rng.randn(8, 4096).astype(np.float32)
+    dp = LabeledArray(xp, dims=["z", "t"],
+                      coords={"z": np.arange(8) * 1.0,
+                              "t": np.arange(4096) * 0.25})
+    hp_taps = xrft_tpu.firwin(63, 0.35)
+    gup = np.asarray(xrft_tpu.upfirdn(hp_taps, dp, 3, 5, dim="t").values)
+    wantup = sps.upfirdn(hp_taps, xp.astype(np.float64), 3, 5, axis=-1)
+    check("upfirdn 3/5 rel err",
+          np.abs(gup - wantup).max() / np.abs(wantup).max(), 1e-5)
+    grp = np.asarray(xrft_tpu.resample_poly(dp, 2, 3, dim="t").values)
+    wantrp = sps.resample_poly(xp.astype(np.float64), 2, 3, axis=-1)
+    check("resample_poly 2/3 rel err",
+          np.abs(grp - wantrp).max() / np.abs(wantrp).max(), 1e-5)
+    gdec = np.asarray(xrft_tpu.decimate(dp, 4, dim="t").values)
+    wantdec = sps.decimate(xp.astype(np.float64), 4, ftype="fir", axis=-1)
+    check("decimate q=4 rel err",
+          np.abs(gdec - wantdec).max() / np.abs(wantdec).max(), 1e-5)
+
+    # N-D trig + 2-D analytic signal vs scipy
+    x2d = rng.randn(4, 512, 512).astype(np.float32)
+    d2d = LabeledArray(x2d, dims=["z", "y", "x"])
+    gdctn = np.asarray(xrft_tpu.dctn(d2d, dim=["y", "x"],
+                                     norm="ortho").values)
+    wantdctn = sfft.dctn(x2d.astype(np.float64), norm="ortho",
+                         axes=(1, 2))
+    check("dctn 512^2 ortho rel err",
+          np.abs(gdctn - wantdctn).max() / np.abs(wantdctn).max(), 1e-5)
+    gh2 = np.asarray(xrft_tpu.hilbert2(d2d, dim=["y", "x"]).values)
+    wanth2 = sps.hilbert2(x2d[0].astype(np.float64))
+    check("hilbert2 512^2 rel err",
+          np.abs(gh2[0] - wanth2).max() / np.abs(wanth2).max(), 1e-5)
+
     sys.exit(1 if failures else 0)
 
 

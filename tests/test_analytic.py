@@ -100,3 +100,61 @@ def test_hilbert_is_jit_traceable():
 
     got = np.asarray(f(da))
     npt.assert_allclose(got, np.abs(sps.hilbert(x)), atol=1e-10)
+
+
+# ---------------------------------------------------------------------------
+# hilbert2 (scipy.signal namesake)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("mode", MODES)
+@pytest.mark.parametrize("shape", [(12, 9), (8, 8), (7, 11)])
+def test_hilbert2_scipy_parity(mode, shape):
+    """hilbert2 == scipy.signal.hilbert2 for every even/odd shape cell —
+    including the even-N Nyquist bin, which the 2-D single-orthant mask
+    ZEROES (unlike the 1-D hilbert mask)."""
+    rng = np.random.RandomState(2)
+    x = rng.randn(*shape)
+    da = LabeledArray(x, dims=["y", "x"])
+    with complex_mode(mode):
+        got = np.asarray(xrft_tpu.hilbert2(da).values)
+    ref = sps.hilbert2(x)
+    npt.assert_allclose(got, ref, atol=1e-10 * np.abs(ref).max())
+
+
+def test_hilbert2_batch_and_named_dims():
+    """Named dims select the transform plane; extra dims are batch."""
+    rng = np.random.RandomState(4)
+    x = rng.randn(3, 10, 6)
+    da = LabeledArray(x, dims=["t", "y", "x"])
+    got = np.asarray(xrft_tpu.hilbert2(da, dim=["y", "x"]).values)
+    ref = sps.hilbert2(x)  # scipy default axes=(-2, -1)
+    npt.assert_allclose(got, ref, atol=1e-10 * np.abs(ref).max())
+
+
+def test_hilbert2_error_contracts():
+    rng = np.random.RandomState(5)
+    da1 = LabeledArray(rng.randn(16), dims=["t"])
+    with pytest.raises(ValueError, match="at least 2 dims"):
+        xrft_tpu.hilbert2(da1)
+    da2 = LabeledArray(rng.randn(4, 4), dims=["y", "x"])
+    with pytest.raises(ValueError, match="exactly 2"):
+        xrft_tpu.hilbert2(da2, dim="y")
+    with pytest.raises(ValueError, match="not found"):
+        xrft_tpu.hilbert2(da2, dim=["y", "q"])
+    dz = LabeledArray(rng.randn(4, 4) + 1j, dims=["y", "x"])
+    with pytest.raises(ValueError, match="must be real"):
+        xrft_tpu.hilbert2(dz)
+
+
+def test_hilbert2_is_jit_traceable():
+    rng = np.random.RandomState(6)
+    x = rng.randn(8, 12)
+    da = LabeledArray(x, dims=["y", "x"])
+
+    @jax.jit
+    def f(la):
+        return xrft_tpu.hilbert2(la).data
+
+    got = np.asarray(f(da))
+    npt.assert_allclose(got, sps.hilbert2(x), atol=1e-10)

@@ -364,3 +364,59 @@ def test_fht_fuzz(seed):
     want = sfft.fht(a, dln, mu=mu, offset=offset, bias=bias)
     npt.assert_allclose(got, want,
                         rtol=1e-7, atol=1e-9 * max(np.abs(want).max(), 1.0))
+
+
+@pytest.mark.parametrize("seed", [1400, 1401, 1402, 1403, 1404, 1405])
+def test_upfirdn_resample_poly_fuzz(seed):
+    """Random (n, up, down, taps, window, padtype) cells vs scipy —
+    including up == down, taps longer than the signal, and batch dims."""
+    rs = np.random.RandomState(seed)
+    n = int(rs.randint(8, 400))
+    up = int(rs.randint(1, 9))
+    down = int(rs.randint(1, 9))
+    taps = int(rs.randint(1, 64))
+    batch = bool(rs.rand() < 0.5)
+    shape = (3, n) if batch else (n,)
+    x = rs.randn(*shape)
+    dims = ["b", "t"] if batch else ["t"]
+    da = _arr(x, dims, dx=0.5, seed=seed)
+    h = rs.randn(taps)
+    got = np.asarray(xrft_tpu.upfirdn(h, da, up, down, dim="t").values)
+    want = sps.upfirdn(h, x, up, down, axis=-1)
+    assert got.shape == want.shape
+    npt.assert_allclose(got, want, atol=1e-9 * max(np.abs(want).max(), 1.0))
+
+    padtype = ["constant", "mean", "median", "minimum",
+               "maximum"][rs.randint(5)]
+    wname = [("kaiser", float(rs.uniform(1.0, 9.0))), "hamming",
+             ("gaussian", float(rs.uniform(2.0, 9.0)))][rs.randint(3)]
+    got = np.asarray(xrft_tpu.resample_poly(
+        da, up, down, dim="t", window=wname, padtype=padtype).values)
+    want = sps.resample_poly(x, up, down, axis=-1, window=wname,
+                             padtype=padtype)
+    assert got.shape == want.shape
+    npt.assert_allclose(got, want, atol=1e-9 * max(np.abs(want).max(), 1.0))
+
+
+@pytest.mark.parametrize("seed", [1500, 1501, 1502, 1503])
+def test_dctn_dstn_fuzz(seed):
+    """Random shape x dim-subset x type x norm cells vs scipy.fft."""
+    rs = np.random.RandomState(seed)
+    ndim = int(rs.randint(2, 4))
+    shape = tuple(int(rs.randint(3, 24)) for _ in range(ndim))
+    dims = ["a", "b", "c"][:ndim]
+    x = rs.randn(*shape)
+    da = LabeledArray(x, dims=dims)
+    k = int(rs.randint(1, ndim + 1))
+    sel = sorted(rs.choice(ndim, size=k, replace=False))
+    type_ = int(rs.randint(1, 5))
+    norm = [None, "ortho", "forward"][rs.randint(3)]
+    if type_ == 1 and any(shape[i] < 2 for i in sel):
+        return
+    for mine, ref in ((xrft_tpu.dctn, sfft.dctn),
+                      (xrft_tpu.dstn, sfft.dstn)):
+        got = np.asarray(mine(da, dim=[dims[i] for i in sel], type=type_,
+                              norm=norm).values)
+        want = ref(x, type=type_, norm=norm, axes=tuple(sel))
+        npt.assert_allclose(got, want,
+                            atol=1e-10 * max(np.abs(want).max(), 1.0))

@@ -669,15 +669,44 @@ def test_sharded_generic_batch_estimators(mesh8):
         ("dct", dict(dim="t", type=2, norm="ortho")),
         ("hilbert", dict(dim="t")),
         ("resample", dict(num=128, dim="t")),
+        ("resample_poly", dict(dim="t")),
+        ("decimate", dict(dim="t")),
         ("periodogram", dict(dim="t", window="hann")),
     ]
     for name, kw in cases:
+        args = (2, 3) if name == "resample_poly" else \
+            (4,) if name == "decimate" else ()
+        local = getattr(xrft_tpu, name)(da, *args, **kw)
+        dist = sharded(name, da, *args, mesh=mesh8, dim_shards={"b": "p"},
+                       **kw)
+        npt.assert_allclose(carray.to_numpy(dist.data),
+                            carray.to_numpy(local.data),
+                            atol=1e-9, err_msg=name)
+        assert dist.dims == local.dims, name
+
+
+def test_sharded_generic_multi_dim_estimators(mesh8):
+    """hilbert2/dctn under batch sharding == local; sharding a transform
+    dim (incl. the implicit all-dims default of dctn) rejects."""
+    from xrft_tpu.parallel import sharded
+
+    rng = np.random.RandomState(14)
+    da = LabeledArray(rng.randn(8, 24, 16), dims=["b", "y", "x"],
+                      coords={"b": np.arange(8)})
+    for name, kw in [("hilbert2", dict(dim=["y", "x"])),
+                     ("dctn", dict(dim=["y", "x"], norm="ortho")),
+                     ("idstn", dict(dim=["y", "x"]))]:
         local = getattr(xrft_tpu, name)(da, **kw)
         dist = sharded(name, da, mesh=mesh8, dim_shards={"b": "p"}, **kw)
         npt.assert_allclose(carray.to_numpy(dist.data),
                             carray.to_numpy(local.data),
                             atol=1e-9, err_msg=name)
-        assert dist.dims == local.dims, name
+    with pytest.raises(ValueError, match="no distributed-transform"):
+        sharded("hilbert2", da, mesh=mesh8, dim_shards={"x": "p"},
+                dim=["y", "x"])
+    with pytest.raises(ValueError, match="no distributed-transform"):
+        # dctn with dim=None transforms every dim, so ANY shard rejects
+        sharded("dctn", da, mesh=mesh8, dim_shards={"b": "p"})
 
 
 def test_sharded_generic_two_input(mesh8):

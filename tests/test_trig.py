@@ -142,3 +142,77 @@ def test_neumann_poisson_solve():
     u -= u.mean()
     u_dense -= u_dense.mean()
     npt.assert_allclose(u, u_dense, atol=1e-9)
+
+
+# ---------------------------------------------------------------------------
+# N-D family: dctn/idctn/dstn/idstn (scipy.fft namesakes)
+# ---------------------------------------------------------------------------
+
+
+def make_3d(shape=(5, 8, 9), seed=7):
+    rng = np.random.RandomState(seed)
+    x = rng.randn(*shape)
+    return x, LabeledArray(x, dims=["z", "y", "x"], name="u")
+
+
+@pytest.mark.parametrize("norm", NORMS)
+@pytest.mark.parametrize("type", TYPES)
+def test_dctn_dstn_scipy_parity(type, norm):
+    """dctn/dstn over a dim subset match scipy.fft.dctn/dstn on the same
+    axes, for every (type, norm) cell; full-dim default matches axes=None."""
+    x, da = make_3d()
+    for mine, ref in ((xrft_tpu.dctn, sfft.dctn), (xrft_tpu.dstn, sfft.dstn),
+                      (xrft_tpu.idctn, sfft.idctn),
+                      (xrft_tpu.idstn, sfft.idstn)):
+        got = np.asarray(mine(da, dim=["y", "x"], type=type,
+                              norm=norm).values)
+        want = ref(x, type=type, norm=norm, axes=(1, 2))
+        npt.assert_allclose(got, want, atol=1e-11 * np.abs(want).max())
+    got = np.asarray(xrft_tpu.dctn(da, type=type, norm=norm).values)
+    want = sfft.dctn(x, type=type, norm=norm)
+    npt.assert_allclose(got, want, atol=1e-11 * np.abs(want).max())
+
+
+@pytest.mark.parametrize("norm", NORMS)
+@pytest.mark.parametrize("type", TYPES)
+def test_dctn_dstn_round_trips(type, norm):
+    """idctn(dctn(x)) == x and idstn(dstn(x)) == x for every type/norm."""
+    x, da = make_3d(seed=11)
+    rt = np.asarray(xrft_tpu.idctn(
+        xrft_tpu.dctn(da, type=type, norm=norm), type=type,
+        norm=norm).values)
+    npt.assert_allclose(rt, x, atol=1e-11)
+    rt = np.asarray(xrft_tpu.idstn(
+        xrft_tpu.dstn(da, dim=["z", "x"], type=type, norm=norm),
+        dim=["z", "x"], type=type, norm=norm).values)
+    npt.assert_allclose(rt, x, atol=1e-11)
+
+
+def test_dctn_single_dim_equals_dct():
+    """dctn over one dim is exactly dct along it (and a str dim works)."""
+    x, da = make_3d(seed=3)
+    a = np.asarray(xrft_tpu.dctn(da, dim="y", type=3, norm="ortho").values)
+    b = np.asarray(xrft_tpu.dct(da, dim="y", type=3, norm="ortho").values)
+    npt.assert_array_equal(a, b)
+
+
+def test_dctn_is_jit_traceable():
+    x, da = make_3d(seed=5)
+
+    @jax.jit
+    def f(la):
+        return xrft_tpu.dctn(la, dim=["y", "x"], norm="ortho").data
+
+    got = np.asarray(f(da))
+    want = sfft.dctn(x, norm="ortho", axes=(1, 2))
+    npt.assert_allclose(got, want, atol=1e-11 * np.abs(want).max())
+
+
+def test_dctn_error_contracts():
+    x, da = make_3d()
+    with pytest.raises(ValueError, match="not found"):
+        xrft_tpu.dctn(da, dim=["y", "nope"])
+    with pytest.raises(ValueError, match="duplicate"):
+        xrft_tpu.dstn(da, dim=["y", "y"])
+    with pytest.raises(ValueError, match="at least one"):
+        xrft_tpu.dctn(da, dim=[])

@@ -22,10 +22,13 @@ from .isotropic import (  # noqa: F401
     isotropize,
 )
 from .stft import istft, stft  # noqa: F401
-from .analytic import envelope, hilbert  # noqa: F401
-from .trig import dct, dst, idct, idst  # noqa: F401
+from .analytic import envelope, hilbert, hilbert2  # noqa: F401
+from .trig import (  # noqa: F401
+    dct, dctn, dst, dstn, idct, idctn, idst, idstn,
+)
 from .czt import czt, zoom_fft  # noqa: F401
 from .resample import resample  # noqa: F401
+from .filter import decimate, firwin, resample_poly, upfirdn  # noqa: F401
 from .lombscargle import lombscargle  # noqa: F401
 from .fht import fht, fhtoffset, ifht  # noqa: F401
 from .convolve import (  # noqa: F401
@@ -44,8 +47,10 @@ from .xarray_compat import from_xarray, to_xarray, xr_boundary  # noqa: F401
 for _name in (
     "fft", "ifft", "dft", "idft", "power_spectrum", "cross_spectrum",
     "cross_phase", "coherence", "spectrogram", "welch", "csd",
-    "periodogram", "stft", "istft", "hilbert", "envelope",
-    "dct", "idct", "dst", "idst", "czt", "zoom_fft", "resample",
+    "periodogram", "stft", "istft", "hilbert", "hilbert2", "envelope",
+    "dct", "idct", "dst", "idst", "dctn", "idctn", "dstn", "idstn",
+    "czt", "zoom_fft", "resample",
+    "upfirdn", "resample_poly", "decimate",
     "convolve", "fftconvolve", "oaconvolve", "correlate",
     "choose_conv_method", "lombscargle", "fht", "ifht",
     "isotropize",

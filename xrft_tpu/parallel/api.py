@@ -251,9 +251,12 @@ _PENCIL_TWO_INPUT = {"cross_spectrum", "cross_phase", "coherence", "csd",
 # single-input estimators transforming one dim (default: the last)
 _ONE_DIM = {
     "spectrogram", "stft", "hilbert", "envelope", "dct", "idct", "dst",
-    "idst", "czt", "zoom_fft", "resample", "lombscargle", "fht", "ifht",
-    "periodogram",
+    "idst", "czt", "zoom_fft", "resample", "resample_poly", "decimate",
+    "lombscargle", "fht", "ifht", "periodogram",
 }
+# single-input estimators transforming a dim list (None -> all dims,
+# except hilbert2: the last two)
+_MULTI_DIM = {"hilbert2", "dctn", "idctn", "dstn", "idstn"}
 # two-input estimators transforming `dims` (default: all shared dims)
 _TWO_INPUT = {"convolve", "fftconvolve", "oaconvolve", "correlate"}
 
@@ -302,6 +305,17 @@ def sharded(fn, da, *args, mesh: Mesh, dim_shards: dict[str, str],
 
         d = _norm_1d_dim(da, kwargs.get("dim"), name)
         _reject_sharded_transform(name, [d], dim_shards)
+        da = shard_labeled(da, mesh, dim_shards)
+        return func(da, *args, **kwargs)
+
+    if name in _MULTI_DIM:
+        d = kwargs.get("dim")
+        if d is None:
+            tdims = list(da.dims[-2:]) if name == "hilbert2" else \
+                list(da.dims)
+        else:
+            tdims = [d] if isinstance(d, str) else list(d)
+        _reject_sharded_transform(name, tdims, dim_shards)
         da = shard_labeled(da, mesh, dim_shards)
         return func(da, *args, **kwargs)
 

@@ -36,9 +36,9 @@ import numpy as np
 
 from .labeled import LabeledArray
 from .ops import carray, fft_core
-from .spectra import _norm_1d_dim
+from .spectra import _norm_1d_dim, _norm_dim_list
 
-__all__ = ["dct", "idct", "dst", "idst"]
+__all__ = ["dct", "idct", "dst", "idst", "dctn", "idctn", "dstn", "idstn"]
 
 _NORMS = (None, "backward", "ortho", "forward")
 
@@ -273,3 +273,52 @@ def idst(da, dim=None, type=2, norm=None, engine=None) -> LabeledArray:
     res = _trig("dst", da, dim, inv_type, inv_norm, engine, "idst")
     res.name = f"{da.name}_idst" if da.name else None
     return res
+
+
+def _norm_nd_dims(da, dim, caller):
+    dims = _norm_dim_list(da, dim)
+    if not dims:
+        raise ValueError(f"{caller}: dim must name at least one dimension")
+    bad = [d for d in dims if d not in da.dims]
+    if bad:
+        raise ValueError(f"{caller}: dims {bad} not found in {da.dims}")
+    if len(set(dims)) != len(dims):
+        raise ValueError(f"{caller}: duplicate dims in {dims}")
+    return dims
+
+
+def _trign(kind, inverse, da, dim, type, norm, engine, caller):
+    dims = _norm_nd_dims(da, dim, caller)
+    one = {("dct", False): dct, ("dct", True): idct,
+           ("dst", False): dst, ("dst", True): idst}[(kind, inverse)]
+    res = da
+    for d in dims:
+        res = one(res, dim=d, type=type, norm=norm, engine=engine)
+    res.name = f"{da.name}_{caller}" if da.name else None
+    return res
+
+
+def dctn(da, dim=None, type=2, norm=None, engine=None) -> LabeledArray:
+    """N-D discrete cosine transform over ``dim`` (a name, a list, or
+    ``None`` for all dims) — ``scipy.fft.dctn``.  The transform is
+    separable, so it composes the 1-D :func:`dct` along each named dim;
+    every host-static permutation/twiddle still bakes into one jaxpr.
+    Same type/norm semantics as :func:`dct`.
+    """
+    return _trign("dct", False, da, dim, type, norm, engine, "dctn")
+
+
+def idctn(da, dim=None, type=2, norm=None, engine=None) -> LabeledArray:
+    """Inverse N-D DCT — ``scipy.fft.idctn`` (``idct`` along each dim)."""
+    return _trign("dct", True, da, dim, type, norm, engine, "idctn")
+
+
+def dstn(da, dim=None, type=2, norm=None, engine=None) -> LabeledArray:
+    """N-D discrete sine transform — ``scipy.fft.dstn`` (``dst`` along
+    each dim; see :func:`dctn`)."""
+    return _trign("dst", False, da, dim, type, norm, engine, "dstn")
+
+
+def idstn(da, dim=None, type=2, norm=None, engine=None) -> LabeledArray:
+    """Inverse N-D DST — ``scipy.fft.idstn`` (``idst`` along each dim)."""
+    return _trign("dst", True, da, dim, type, norm, engine, "idstn")

@@ -82,7 +82,16 @@ def xr_boundary(fn):
 
     @functools.wraps(fn)
     def wrapper(*args, **kwargs):
-        was_xr = args and is_dataarray(args[0])
+        # the "first array argument" is the first positional that is a
+        # DataArray or LabeledArray — e.g. upfirdn(h, da) keys off da,
+        # not the numpy taps
+        was_xr = False
+        for a in args:
+            if is_dataarray(a):
+                was_xr = True
+                break
+            if isinstance(a, LabeledArray):
+                break
         if was_xr or any(is_dataarray(a) for a in args):
             args = tuple(from_xarray(a) if is_dataarray(a) else a
                          for a in args)
@@ -109,8 +118,9 @@ class XrftAccessor:
     _METHODS = (
         "fft", "ifft", "dft", "idft", "power_spectrum", "cross_spectrum",
         "cross_phase", "coherence", "spectrogram", "welch", "csd",
-        "periodogram", "stft", "istft", "hilbert", "envelope",
-        "dct", "idct", "dst", "idst", "czt", "zoom_fft", "resample",
+        "periodogram", "stft", "istft", "hilbert", "hilbert2", "envelope",
+        "dct", "idct", "dst", "idst", "dctn", "idctn", "dstn", "idstn",
+        "czt", "zoom_fft", "resample", "resample_poly", "decimate",
         "convolve", "fftconvolve", "oaconvolve", "correlate", "lombscargle",
         "fht", "ifht",
         "isotropize",
