@@ -485,6 +485,14 @@ def main():
     check("hilbert2 512^2 rel err",
           np.abs(gh2[0] - wanth2).max() / np.abs(wanth2).max(), 1e-5)
 
+    # Savitzky-Golay smoothing (interp edge matrices on the MXU) vs scipy
+    gsg = np.asarray(xrft_tpu.savgol_filter(dp, 11, 3, deriv=1, delta=0.25,
+                                            dim="t").values)
+    wantsg = sps.savgol_filter(xp.astype(np.float64), 11, 3, deriv=1,
+                               delta=0.25, axis=-1)
+    check("savgol_filter w=11 d1 rel err",
+          np.abs(gsg - wantsg).max() / np.abs(wantsg).max(), 1e-5)
+
     sys.exit(1 if failures else 0)
 
 

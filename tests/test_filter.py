@@ -205,3 +205,94 @@ def test_decimate_iir_prescriptive_error():
         xrft_tpu.decimate(da, 2, ftype="iir")
     with pytest.raises(ValueError, match="must be 'fir'"):
         xrft_tpu.decimate(da, 2, ftype="cic")
+
+
+# ---------------------------------------------------------------------------
+# savgol_coeffs / savgol_filter
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("kwargs", [
+    dict(window_length=5, polyorder=2),
+    dict(window_length=7, polyorder=3, deriv=1, delta=0.5),
+    dict(window_length=8, polyorder=3),               # even window
+    dict(window_length=9, polyorder=4, deriv=2),
+    dict(window_length=11, polyorder=2, pos=3),
+    dict(window_length=7, polyorder=2, use="dot"),
+    dict(window_length=5, polyorder=2, deriv=3),      # deriv > polyorder
+])
+def test_savgol_coeffs_scipy_parity(kwargs):
+    npt.assert_allclose(xrft_tpu.savgol_coeffs(**kwargs),
+                        sps.savgol_coeffs(**kwargs), atol=1e-12)
+
+
+@pytest.mark.parametrize("mode", ["interp", "mirror", "nearest",
+                                  "constant", "wrap"])
+@pytest.mark.parametrize("window_length,polyorder,deriv", [
+    (5, 2, 0), (7, 3, 1), (8, 3, 0), (11, 4, 2),
+])
+def test_savgol_filter_scipy_parity(mode, window_length, polyorder, deriv):
+    """Values match scipy.signal.savgol_filter for every mode, including
+    the 'interp' edge polynomials and even window lengths."""
+    x, da = make_1d(n=60, seed=7)
+    got = np.asarray(xrft_tpu.savgol_filter(
+        da, window_length, polyorder, deriv=deriv, delta=0.7, mode=mode,
+        cval=1.5).values)
+    want = sps.savgol_filter(x, window_length, polyorder, deriv=deriv,
+                             delta=0.7, mode=mode, cval=1.5)
+    assert got.shape == want.shape
+    npt.assert_allclose(got, want, atol=1e-10)
+
+
+def test_savgol_filter_batch_middle_dim():
+    """Filtering a middle dim matches scipy's axis= and leaves coords
+    untouched (index-based smoothing; delta carries the spacing)."""
+    rng = np.random.RandomState(11)
+    x = rng.randn(4, 33, 3)
+    da = LabeledArray(x, dims=["b", "y", "c"],
+                      coords={"y": 1.0 + 0.5 * np.arange(33)})
+    out = xrft_tpu.savgol_filter(da, 9, 3, deriv=1, delta=0.5, dim="y")
+    want = sps.savgol_filter(x, 9, 3, deriv=1, delta=0.5, axis=1)
+    npt.assert_allclose(np.asarray(out.values), want, atol=1e-10)
+    npt.assert_array_equal(np.asarray(out.coords["y"].values),
+                           np.asarray(da.coords["y"].values))
+
+
+def test_savgol_filter_recovers_polynomial():
+    """A degree-<=polyorder signal passes through exactly (all modes'
+    interiors; 'interp' also at the edges) — the defining property."""
+    t = np.linspace(0, 1, 41)
+    x = 3.0 - 2.0 * t + 0.5 * t ** 2
+    da = LabeledArray(x, dims=["t"], coords={"t": t})
+    out = np.asarray(xrft_tpu.savgol_filter(da, 9, 2, mode="interp").values)
+    npt.assert_allclose(out, x, atol=1e-10)
+    # first derivative of the quadratic, scaled by the sample spacing
+    d1 = np.asarray(xrft_tpu.savgol_filter(
+        da, 9, 2, deriv=1, delta=t[1] - t[0], mode="interp").values)
+    npt.assert_allclose(d1, -2.0 + 1.0 * t, atol=1e-9)
+
+
+def test_savgol_filter_is_jit_traceable():
+    x, da = make_1d(n=40)
+
+    @jax.jit
+    def f(la):
+        return xrft_tpu.savgol_filter(la, 7, 3, mode="interp").data
+
+    npt.assert_allclose(np.asarray(f(da)),
+                        sps.savgol_filter(x, 7, 3, mode="interp"),
+                        atol=1e-10)
+
+
+def test_savgol_error_contracts():
+    x, da = make_1d(n=10)
+    with pytest.raises(ValueError, match="polyorder must be less"):
+        xrft_tpu.savgol_filter(da, 5, 7)
+    with pytest.raises(ValueError, match="window_length must be less"):
+        xrft_tpu.savgol_filter(da, 15, 2, mode="interp")
+    with pytest.raises(ValueError, match="mode must be"):
+        xrft_tpu.savgol_filter(da, 5, 2, mode="bogus")
+    with pytest.raises(ValueError, match="pos must be nonnegative"):
+        xrft_tpu.savgol_coeffs(5, 2, pos=9)
+    with pytest.raises(ValueError, match="'conv' or 'dot'"):
+        xrft_tpu.savgol_coeffs(5, 2, use="x")

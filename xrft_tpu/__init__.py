@@ -28,7 +28,9 @@ from .trig import (  # noqa: F401
 )
 from .czt import czt, zoom_fft  # noqa: F401
 from .resample import resample  # noqa: F401
-from .filter import decimate, firwin, resample_poly, upfirdn  # noqa: F401
+from .filter import (  # noqa: F401
+    decimate, firwin, resample_poly, savgol_coeffs, savgol_filter, upfirdn,
+)
 from .lombscargle import lombscargle  # noqa: F401
 from .fht import fht, fhtoffset, ifht  # noqa: F401
 from .convolve import (  # noqa: F401
@@ -50,7 +52,7 @@ for _name in (
     "periodogram", "stft", "istft", "hilbert", "hilbert2", "envelope",
     "dct", "idct", "dst", "idst", "dctn", "idctn", "dstn", "idstn",
     "czt", "zoom_fft", "resample",
-    "upfirdn", "resample_poly", "decimate",
+    "upfirdn", "resample_poly", "decimate", "savgol_filter",
     "convolve", "fftconvolve", "oaconvolve", "correlate",
     "choose_conv_method", "lombscargle", "fht", "ifht",
     "isotropize",

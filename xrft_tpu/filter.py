@@ -47,7 +47,8 @@ from .ops import carray
 from .convolve import _fft_convolve
 from .spectra import _norm_1d_dim
 
-__all__ = ["firwin", "upfirdn", "resample_poly", "decimate"]
+__all__ = ["firwin", "upfirdn", "resample_poly", "decimate",
+           "savgol_coeffs", "savgol_filter"]
 
 
 # ---------------------------------------------------------------------------
@@ -379,3 +380,140 @@ def decimate(da, q, n=None, ftype="fir", dim=None, zero_phase=True,
                            attrs=dict(da.attrs), name=da.name)
     res.name = f"{da.name}_decimated" if da.name else None
     return res
+
+
+# ---------------------------------------------------------------------------
+# Savitzky-Golay smoothing: host-static design + one conv + static
+# edge-fit matrices
+# ---------------------------------------------------------------------------
+
+
+def savgol_coeffs(window_length, polyorder, deriv=0, delta=1.0, pos=None,
+                  use="conv") -> np.ndarray:
+    """Savitzky-Golay FIR coefficients — ``scipy.signal.savgol_coeffs``:
+    the least-squares polynomial-smoothing (or ``deriv``-th derivative)
+    filter of length ``window_length`` evaluated at ``pos`` (default:
+    the center).  Pure host numpy; the taps are static constants.
+    """
+    if polyorder >= window_length:
+        raise ValueError("polyorder must be less than window_length.")
+    halflen, rem = divmod(window_length, 2)
+    if pos is None:
+        pos = halflen - 0.5 if rem == 0 else halflen
+    if not 0 <= pos < window_length:
+        raise ValueError("pos must be nonnegative and less than "
+                         "window_length.")
+    if use not in ("conv", "dot"):
+        raise ValueError("`use` must be 'conv' or 'dot'")
+    if deriv > polyorder:
+        return np.zeros(window_length)
+    x = np.arange(-pos, window_length - pos, dtype=np.float64)
+    if use == "conv":
+        x = x[::-1]
+    A = x ** np.arange(polyorder + 1, dtype=np.float64)[:, None]
+    y = np.zeros(polyorder + 1)
+    y[deriv] = math.factorial(deriv) / (delta ** deriv)
+    coeffs, _, _, _ = np.linalg.lstsq(A, y, rcond=None)
+    return coeffs
+
+
+def _edge_fit_matrix(window_length, polyorder, deriv, delta, interp_idx):
+    """The linear map from the ``window_length`` edge samples to the
+    polyfit-interpolated values at local positions ``interp_idx``
+    (scipy's ``_fit_edge`` is linear in the data: polyfit o polyder o
+    polyval composes into one host matrix)."""
+    t = np.arange(window_length, dtype=np.float64)
+    V = np.vander(t, polyorder + 1)  # highest power first, like polyfit
+    P = np.linalg.pinv(V)  # samples -> poly coeffs (p+1, w)
+    # polyder (highest-first convention), deriv times
+    D = np.eye(polyorder + 1)
+    for _ in range(deriv):
+        k = D.shape[0] - 1
+        if k == 0:
+            D = np.zeros((1, polyorder + 1)) @ D
+            break
+        D = (np.arange(k, 0, -1)[:, None] * np.eye(k, k + 1)) @ D
+    i = np.asarray(interp_idx, dtype=np.float64)
+    Veval = np.vander(i, D.shape[0])
+    return (Veval @ D @ P) / (delta ** deriv)
+
+
+def savgol_filter(da, window_length, polyorder, deriv=0, delta=1.0,
+                  dim=None, mode="interp", cval=0.0,
+                  engine=None) -> LabeledArray:
+    """Savitzky-Golay smoothing/differentiation along ``dim`` (default:
+    last dim) — ``scipy.signal.savgol_filter``: one FIR convolution with
+    the host-static least-squares taps; ``mode`` in {'interp' (scipy
+    default: the ``window_length // 2`` edge samples are replaced by a
+    polynomial fitted to the first/last ``window_length`` samples —
+    here a static edge-fit *matrix* applied on the MXU, since polyfit o
+    polyval is linear in the data), 'mirror', 'nearest', 'constant',
+    'wrap'}.  Same-length output; index-based, so dims/coords pass
+    through untouched (``delta`` carries the sample spacing, like
+    scipy).  Real input only.
+    """
+    if mode not in ("mirror", "constant", "nearest", "interp", "wrap"):
+        raise ValueError("mode must be 'mirror', 'constant', 'nearest' "
+                         "'wrap' or 'interp'.")
+    dim = _norm_1d_dim(da, dim, "savgol_filter")
+    if carray.is_complex(da.data):
+        raise ValueError("savgol_filter: input must be real")
+    ax = da.dims.index(dim)
+    n = da.sizes[dim]
+    w = int(window_length)
+    halflen = w // 2
+    coeffs = savgol_coeffs(w, polyorder, deriv=deriv, delta=delta)
+
+    x = da.data
+    if mode == "interp":
+        if w > n:
+            raise ValueError("If mode is 'interp', window_length must be "
+                             "less than or equal to the size of x.")
+        pads = [(0, 0)] * da.ndim
+        pads[ax] = (w - 1 - halflen, halflen)
+        xp = carray.pad(x, pads)
+    else:
+        jmode = {"mirror": "reflect", "nearest": "edge", "wrap": "wrap",
+                 "constant": "constant"}[mode]
+        pads = [(0, 0)] * da.ndim
+        # ndimage.convolve1d centers an even-length kernel at w//2, so
+        # the LEFT extension is w-1-halflen and the RIGHT is halflen
+        pads[ax] = (w - 1 - halflen, halflen)
+        kw = dict(constant_values=cval) if jmode == "constant" else {}
+        xp = carray.pad(x, pads, mode=jmode, **kw)
+
+    # 'valid' correlation with the (already conv-reversed) taps ==
+    # ndimage.convolve1d's aligned output: full conv, keep rows
+    # [w-1, w-1+n)
+    hshape = [1] * da.ndim
+    hshape[ax] = w
+    hv = carray.constant(coeffs.reshape(hshape), xp)
+    y = _fft_convolve(xp, hv, [ax], [n + w - 1], [w], engine)
+    key = [slice(None)] * da.ndim
+    key[ax] = slice(w - 1, w - 1 + n)
+    y = carray.getitem(y, tuple(key))
+    y = carray.real(y)
+
+    if mode == "interp" and halflen > 0:
+        import jax.numpy as jnp
+
+        from .ops.matmul_fft import _precision
+
+        El = _edge_fit_matrix(w, polyorder, deriv, delta,
+                              np.arange(halflen))
+        Er = _edge_fit_matrix(w, polyorder, deriv, delta,
+                              np.arange(w - halflen, w))
+        xm = jnp.moveaxis(x if not carray.is_pair(x) else x.re, ax, -1)
+        fdt = xm.dtype
+        head = jnp.einsum("ij,...j->...i", jnp.asarray(El, dtype=fdt),
+                          xm[..., :w], precision=_precision())
+        tail = jnp.einsum("ij,...j->...i", jnp.asarray(Er, dtype=fdt),
+                          xm[..., n - w:], precision=_precision())
+        ym = jnp.moveaxis(y, ax, -1)
+        ym = jnp.concatenate(
+            [head, ym[..., halflen:n - halflen], tail], axis=-1)
+        y = jnp.moveaxis(ym, -1, ax)
+
+    out = da.copy(data=y)
+    out.name = f"{da.name}_savgol" if da.name else None
+    return out
